@@ -1,0 +1,207 @@
+// Host-side sparse core for empanada_tpu.
+//
+// Replaces the reference's numba kernels (empanada/array_utils.py:144-688,
+// empanada/zarr_utils.py:11-58) and external cc3d connected components
+// (empanada/inference/rle.py:18-24) with single-pass C algorithms over
+// run-length encoded data. Exposed via a plain C ABI and loaded with ctypes.
+//
+// Build: make -C empanada_tpu/core/_native
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Coverage sweep: given n [start,end) ranges sorted by start, emit the
+// disjoint ranges where coverage depth >= thr. Returns the number of output
+// ranges written (or required, if it exceeds out_cap: caller re-allocates).
+// ---------------------------------------------------------------------------
+int64_t etpu_coverage_ranges(const int64_t* ranges, int64_t n, int64_t thr,
+                             int64_t* out, int64_t out_cap) {
+  if (n <= 0) return 0;
+  std::vector<int64_t> ends(n);
+  for (int64_t i = 0; i < n; ++i) ends[i] = ranges[2 * i + 1];
+  std::sort(ends.begin(), ends.end());
+
+  int64_t depth = 0, si = 0, ei = 0, count = 0;
+  int64_t open_start = 0;
+  bool open = false;
+  while (ei < n) {
+    int64_t next_start = (si < n) ? ranges[2 * si] : INT64_MAX;
+    int64_t next_end = ends[ei];
+    if (next_start < next_end) {
+      depth++;
+      if (!open && depth >= thr) {
+        open = true;
+        open_start = next_start;
+      }
+      si++;
+    } else {
+      // process end events first at ties (half-open ranges)
+      depth--;
+      if (open && depth < thr) {
+        open = false;
+        if (next_end > open_start) {
+          if (count < out_cap) {
+            out[2 * count] = open_start;
+            out[2 * count + 1] = next_end;
+          }
+          count++;
+        }
+      }
+      ei++;
+    }
+  }
+  return count;
+}
+
+// ---------------------------------------------------------------------------
+// Two-pointer intersection size of two disjoint sorted range sets.
+// ---------------------------------------------------------------------------
+int64_t etpu_ranges_intersection(const int64_t* a, int64_t na,
+                                 const int64_t* b, int64_t nb) {
+  int64_t i = 0, j = 0, total = 0;
+  while (i < na && j < nb) {
+    int64_t lo = std::max(a[2 * i], b[2 * j]);
+    int64_t hi = std::min(a[2 * i + 1], b[2 * j + 1]);
+    if (hi > lo) total += hi - lo;
+    if (a[2 * i + 1] < b[2 * j + 1]) i++; else j++;
+  }
+  return total;
+}
+
+// ---------------------------------------------------------------------------
+// Run-based connected components over a raveled 2D image.
+//
+// Input: n row-split runs (start, end in raveled coords; runs never cross a
+// row boundary) each carrying an integer value; runs sorted raster order.
+// Two runs merge iff they carry the same value, sit on adjacent rows, and
+// their column spans touch (8- or 4-connectivity). Output: per-run component
+// label, 1-based, numbered by first raster appearance. Returns #components.
+// ---------------------------------------------------------------------------
+static int64_t uf_find(std::vector<int64_t>& parent, int64_t x) {
+  int64_t root = x;
+  while (parent[root] != root) root = parent[root];
+  while (parent[x] != root) {
+    int64_t up = parent[x];
+    parent[x] = root;
+    x = up;
+  }
+  return root;
+}
+
+int64_t etpu_runs_ccl(const int64_t* starts, const int64_t* ends,
+                      const int64_t* values, int64_t n, int64_t width,
+                      int32_t connectivity, int32_t* labels_out) {
+  if (n <= 0) return 0;
+  std::vector<int64_t> parent(n);
+  for (int64_t i = 0; i < n; ++i) parent[i] = i;
+
+  const int64_t pad = (connectivity == 8) ? 1 : 0;
+
+  // rows are contiguous blocks; find row boundaries on the fly
+  int64_t prev_begin = -1, prev_end_idx = -1;  // run index span of previous row
+  int64_t cur_row = starts[0] / width;
+
+  for (int64_t i = 0; i < n;) {
+    // advance to collect all runs of row `cur_row`
+    int64_t j = i;
+    while (j < n && starts[j] / width == cur_row) j++;
+    // merge against previous row if adjacent
+    if (prev_begin >= 0) {
+      int64_t p = prev_begin;
+      for (int64_t q = i; q < j; ++q) {
+        int64_t qs = starts[q] % width;
+        int64_t qe = (ends[q] - 1) % width + 1;  // end col (exclusive)
+        // advance persistent pointer past runs that end left of q
+        while (p < prev_end_idx &&
+               ((ends[p] - 1) % width + 1) + pad <= qs) {
+          p++;
+        }
+        // scan all runs overlapping q with a secondary pointer
+        for (int64_t pp = p; pp < prev_end_idx; ++pp) {
+          int64_t ps = starts[pp] % width;
+          if (ps >= qe + pad) break;  // pp (and later) entirely right of q
+          if (values[pp] == values[q]) {
+            int64_t rp = uf_find(parent, pp), rq = uf_find(parent, q);
+            if (rp != rq) parent[std::max(rp, rq)] = std::min(rp, rq);
+          }
+        }
+      }
+    }
+    // next row
+    if (j < n) {
+      int64_t next_row = starts[j] / width;
+      if (next_row == cur_row + 1) {
+        prev_begin = i; prev_end_idx = j;
+      } else {
+        prev_begin = -1; prev_end_idx = -1;
+      }
+      cur_row = next_row;
+    }
+    i = j;
+  }
+
+  // assign labels by first raster appearance of each root
+  std::vector<int32_t> root_label(n, 0);
+  int32_t next_label = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t r = uf_find(parent, i);
+    if (root_label[r] == 0) root_label[r] = ++next_label;
+    labels_out[i] = root_label[r];
+  }
+  return next_label;
+}
+
+// ---------------------------------------------------------------------------
+// Fill a raveled int32 buffer with `value` over the given runs.
+// ---------------------------------------------------------------------------
+void etpu_fill_runs_i32(int32_t* buf, int64_t buf_len, const int64_t* starts,
+                        const int64_t* runs, int64_t n, int32_t value) {
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t s = starts[i];
+    int64_t e = s + runs[i];
+    if (s < 0) s = 0;
+    if (e > buf_len) e = buf_len;
+    for (int64_t k = s; k < e; ++k) buf[k] = value;
+  }
+}
+
+void etpu_fill_runs_i64(int64_t* buf, int64_t buf_len, const int64_t* starts,
+                        const int64_t* runs, int64_t n, int64_t value) {
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t s = starts[i];
+    int64_t e = s + runs[i];
+    if (s < 0) s = 0;
+    if (e > buf_len) e = buf_len;
+    for (int64_t k = s; k < e; ++k) buf[k] = value;
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Encode a raveled int32 image into runs of constant value, splitting at row
+// boundaries. Returns number of runs (caller provides capacity = len).
+// ---------------------------------------------------------------------------
+int64_t etpu_encode_runs_i32(const int32_t* img, int64_t len, int64_t width,
+                             int64_t* starts, int64_t* ends, int64_t* values) {
+  if (len <= 0) return 0;
+  int64_t count = 0;
+  int64_t run_start = 0;
+  int32_t run_val = img[0];
+  for (int64_t i = 1; i <= len; ++i) {
+    bool boundary = (i == len) || (img[i] != run_val) || (i % width == 0);
+    if (boundary) {
+      starts[count] = run_start;
+      ends[count] = i;
+      values[count] = run_val;
+      count++;
+      if (i < len) { run_start = i; run_val = img[i]; }
+    }
+  }
+  return count;
+}
+
+}  // extern "C"

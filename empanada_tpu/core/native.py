@@ -1,0 +1,156 @@
+"""ctypes loader for the C++ sparse core (libetpu_core.so).
+
+Every wrapper returns None when the shared library is unavailable so the
+numpy fallbacks in the calling modules take over. The library is built
+lazily (once per process tree) from empanada_tpu/core/_native via make.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "_native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libetpu_core.so")
+
+_lib = None
+_tried = False
+_lock = threading.Lock()
+
+
+def _build():
+    try:
+        subprocess.run(
+            ["make", "-C", _NATIVE_DIR, "-s"],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return True
+    except Exception:
+        return False
+
+
+def get_lib():
+    """Load (building if needed) the native library, or None."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if os.environ.get("EMPANADA_TPU_NO_NATIVE"):
+            return None
+        if not os.path.exists(_LIB_PATH):
+            src = os.path.join(_NATIVE_DIR, "core.cpp")
+            if not os.path.exists(src) or not _build():
+                return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            return None
+
+        i64 = ctypes.c_int64
+        i32 = ctypes.c_int32
+        p64 = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        p32 = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+
+        lib.etpu_coverage_ranges.restype = i64
+        lib.etpu_coverage_ranges.argtypes = [p64, i64, i64, p64, i64]
+
+        lib.etpu_ranges_intersection.restype = i64
+        lib.etpu_ranges_intersection.argtypes = [p64, i64, p64, i64]
+
+        lib.etpu_runs_ccl.restype = i64
+        lib.etpu_runs_ccl.argtypes = [p64, p64, p64, i64, i64, i32, p32]
+
+        lib.etpu_fill_runs_i32.restype = None
+        lib.etpu_fill_runs_i32.argtypes = [p32, i64, p64, p64, i64, i32]
+
+        lib.etpu_fill_runs_i64.restype = None
+        lib.etpu_fill_runs_i64.argtypes = [p64, i64, p64, p64, i64, i64]
+
+        lib.etpu_encode_runs_i32.restype = i64
+        lib.etpu_encode_runs_i32.argtypes = [p32, i64, i64, p64, p64, p64]
+
+        _lib = lib
+        return _lib
+
+
+def _c64(a):
+    return np.ascontiguousarray(a, dtype=np.int64)
+
+
+def coverage_ranges(ranges: np.ndarray, thr: int):
+    lib = get_lib()
+    if lib is None:
+        return None
+    ranges = _c64(ranges)
+    n = len(ranges)
+    cap = 2 * n + 2
+    out = np.empty((cap, 2), dtype=np.int64)
+    count = lib.etpu_coverage_ranges(ranges, n, thr, out, cap)
+    if count > cap:  # shouldn't happen (output ranges <= input ranges)
+        out = np.empty((count, 2), dtype=np.int64)
+        count = lib.etpu_coverage_ranges(ranges, n, thr, out, count)
+    return out[:count].copy()
+
+
+def ranges_intersection(ranges_a: np.ndarray, ranges_b: np.ndarray):
+    lib = get_lib()
+    if lib is None:
+        return None
+    a = _c64(ranges_a)
+    b = _c64(ranges_b)
+    return int(lib.etpu_ranges_intersection(a, len(a), b, len(b)))
+
+
+def runs_ccl(starts, ends, values, width: int, connectivity: int = 8):
+    """Label row-split runs; returns (labels int32 per-run, n_components)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    starts = _c64(starts)
+    ends = _c64(ends)
+    values = _c64(values)
+    labels = np.zeros(len(starts), dtype=np.int32)
+    n = lib.etpu_runs_ccl(starts, ends, values, len(starts), width,
+                          connectivity, labels)
+    return labels, int(n)
+
+
+def fill_runs(buf: np.ndarray, starts, runs, value: int):
+    """In-place fill of a raveled contiguous int32/int64 buffer."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    starts = _c64(starts)
+    runs = _c64(runs)
+    if buf.dtype == np.int32:
+        lib.etpu_fill_runs_i32(buf, buf.size, starts, runs, len(starts),
+                               int(value))
+    elif buf.dtype == np.int64:
+        lib.etpu_fill_runs_i64(buf, buf.size, starts, runs, len(starts),
+                               int(value))
+    else:
+        return None
+    return True
+
+
+def encode_runs(img: np.ndarray, width: int):
+    """Row-split constant-value runs of a raveled int32 image."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    img = np.ascontiguousarray(img, dtype=np.int32).ravel()
+    cap = img.size
+    starts = np.empty(cap, dtype=np.int64)
+    ends = np.empty(cap, dtype=np.int64)
+    values = np.empty(cap, dtype=np.int64)
+    n = lib.etpu_encode_runs_i32(img, img.size, width, starts, ends, values)
+    return starts[:n].copy(), ends[:n].copy(), values[:n].copy()
