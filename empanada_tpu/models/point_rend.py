@@ -1,0 +1,162 @@
+"""PointRend semantic-segmentation refinement (flax.linen, NHWC).
+
+Capability parity with reference models/point_rend.py (detectron2-derived):
+- uncertainty = -|logit| (binary) or -(top1 - top2) (multiclass),
+- train: importance-sample uncertain points with randomness,
+- eval: ``subdivision_steps`` rounds of 2x upsample -> re-predict the top-K
+  most uncertain points with a shared MLP -> scatter.
+
+All loops are static-length and K is static, so the eval path compiles to
+a fixed XLA graph (topk + gather + scatter), which is the reason MitoNet
+inference can run the cheap low-res path on TPU.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from empanada_tpu.ops.resize import interpolate_scale
+from empanada_tpu.ops.sampling import point_sample
+
+__all__ = [
+    "calculate_uncertainty",
+    "get_uncertain_point_coords_with_randomness",
+    "get_uncertain_point_coords_on_grid",
+    "StandardPointHead",
+    "PointRendSemSegHead",
+]
+
+
+def calculate_uncertainty(logits: jax.Array) -> jax.Array:
+    """(N, H, W, C) or (N, P, C) logits -> (..., 1) uncertainty scores."""
+    if logits.shape[-1] == 1:
+        return -jnp.abs(logits)
+    top2 = jax.lax.top_k(logits, 2)[0]
+    return (top2[..., 1] - top2[..., 0])[..., None]
+
+
+def get_uncertain_point_coords_with_randomness(
+    rng, coarse_logits, num_points: int, oversample_ratio: int,
+    importance_sample_ratio: float,
+):
+    """Train-time point sampling (reference point_rend.py:62-107).
+
+    Returns (N, num_points, 2) coords in [0,1]^2 as (x, y).
+    """
+    n = coarse_logits.shape[0]
+    num_sampled = int(num_points * oversample_ratio)
+    k1, k2 = jax.random.split(rng)
+    point_coords = jax.random.uniform(k1, (n, num_sampled, 2))
+    point_logits = point_sample(coarse_logits, point_coords)
+    uncertainty = calculate_uncertainty(point_logits)[..., 0]  # (N, S)
+
+    num_uncertain = int(importance_sample_ratio * num_points)
+    num_random = num_points - num_uncertain
+    idx = jax.lax.top_k(uncertainty, num_uncertain)[1]  # (N, K)
+    picked = jnp.take_along_axis(point_coords, idx[..., None], axis=1)
+
+    if num_random > 0:
+        rand_coords = jax.random.uniform(k2, (n, num_random, 2))
+        picked = jnp.concatenate([picked, rand_coords], axis=1)
+    return picked
+
+
+def get_uncertain_point_coords_on_grid(uncertainty_map, num_points: int):
+    """Top-K uncertain grid points (reference point_rend.py:109-137).
+
+    uncertainty_map: (N, H, W, 1). Returns (indices (N,K), coords (N,K,2)
+    as (x, y) in [0,1]).
+    """
+    n, h, w, _ = uncertainty_map.shape
+    k = min(h * w, num_points)
+    flat = uncertainty_map.reshape(n, h * w)
+    point_indices = jax.lax.top_k(flat, k)[1]
+    xs = (point_indices % w).astype(jnp.float32)
+    ys = (point_indices // w).astype(jnp.float32)
+    coords = jnp.stack([
+        0.5 / w + xs / w,
+        0.5 / h + ys / h,
+    ], axis=-1)
+    return point_indices, coords
+
+
+class StandardPointHead(nn.Module):
+    """Shared pointwise MLP over sampled features + coarse logits
+    (reference point_rend.py:140-188). Inputs/outputs are (N, P, C)."""
+    num_classes: int
+    fc_dim: int
+    num_fc: int = 3
+    coarse_pred_each_layer: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, fine_features, coarse_logits):
+        x = jnp.concatenate(
+            [fine_features, coarse_logits.astype(fine_features.dtype)], -1)
+        for _ in range(self.num_fc):
+            x = nn.Dense(self.fc_dim, dtype=self.dtype,
+                         kernel_init=nn.initializers.variance_scaling(
+                             2.0, "fan_out", "normal"))(x)
+            x = nn.relu(x)
+            if self.coarse_pred_each_layer:
+                x = jnp.concatenate(
+                    [x, coarse_logits.astype(x.dtype)], axis=-1)
+        return nn.Dense(self.num_classes, dtype=self.dtype,
+                        kernel_init=nn.initializers.normal(0.001))(x)
+
+
+class PointRendSemSegHead(nn.Module):
+    num_classes: int
+    num_fc: int = 3
+    train_num_points: int = 1024
+    oversample_ratio: int = 3
+    importance_sample_ratio: float = 0.75
+    subdivision_steps: int = 2
+    subdivision_num_points: int = 8192
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, coarse_logits, features, train: bool = False,
+                 render_steps: int | None = None):
+        """coarse_logits: (N, H/4, W/4, C); features: decoder features at the
+        same resolution. Returns dict like the reference (point_rend.py:219).
+        """
+        fc_dim = features.shape[-1]
+        point_head = StandardPointHead(self.num_classes, fc_dim, self.num_fc,
+                                       dtype=self.dtype)
+        out = {}
+        if train:
+            rng = self.make_rng("points")
+            coords = jax.lax.stop_gradient(
+                get_uncertain_point_coords_with_randomness(
+                    rng, jax.lax.stop_gradient(coarse_logits),
+                    self.train_num_points, self.oversample_ratio,
+                    self.importance_sample_ratio))
+            coarse_pts = point_sample(coarse_logits, coords)
+            fine_pts = point_sample(features, coords)
+            out["sem_seg_logits"] = coarse_logits
+            out["point_logits"] = point_head(fine_pts, coarse_pts)
+            out["point_coords"] = coords
+            return out
+
+        steps = self.subdivision_steps if render_steps is None else render_steps
+        logits = coarse_logits
+        for _ in range(steps):
+            logits = interpolate_scale(logits, 2, align_corners=False)
+            unc = calculate_uncertainty(logits)
+            idx, coords = get_uncertain_point_coords_on_grid(
+                unc, self.subdivision_num_points)
+            coarse_pts = point_sample(coarse_logits, coords)
+            fine_pts = point_sample(features, coords)
+            point_logits = point_head(fine_pts, coarse_pts)
+
+            n, h, w, c = logits.shape
+            flat = logits.reshape(n, h * w, c)
+            flat = jax.vmap(lambda f, i, v: f.at[i].set(v))(
+                flat, idx, point_logits.astype(flat.dtype))
+            logits = flat.reshape(n, h, w, c)
+
+        out["sem_seg_logits"] = logits
+        return out

@@ -1,0 +1,272 @@
+"""Panoptic post-processing as fused on-device XLA ops (NHWC, jit-static).
+
+Functional parity with reference inference/postprocess.py:38-356, redesigned
+for the TPU compilation model:
+
+- ``find_instance_centers``: threshold + max-pool NMS like the reference,
+  but returns a *fixed-size* (max_centers, 2) coordinate buffer + validity
+  mask via top_k instead of a dynamic nonzero.
+- ``group_pixels``: nearest-center assignment computed as a lax.scan over
+  center chunks (running min-distance), bounding memory exactly like the
+  reference's chunked_pixel_grouping without host loops.
+- ``merge_semantic_and_instance``: the reference's per-instance Python
+  loops (majority class vote, per-class renumbering, stuff-area filter)
+  become segment reductions: one scatter-add builds the (instance, class)
+  count table, argmax gives the majority class, a cumulative count over
+  (class-sorted) instances reproduces the per-class 1-based renumbering,
+  and a gather paints the panoptic map. No data-dependent shapes anywhere.
+
+Conventions: ids and semantics follow the reference exactly —
+pan_id = class_id * label_divisor + instance_id; instance ids are numbered
+per class in ascending original-instance-id order; stuff regions below
+stuff_area become void_label.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+__all__ = [
+    "logits_to_prob",
+    "harden_semantic",
+    "find_instance_centers",
+    "group_pixels",
+    "merge_semantic_and_instance",
+    "get_panoptic_segmentation",
+]
+
+
+def logits_to_prob(logits: jax.Array) -> jax.Array:
+    """softmax over channels (multiclass) or sigmoid (binary). NHWC."""
+    if logits.shape[-1] > 1:
+        return jax.nn.softmax(logits, axis=-1)
+    return jax.nn.sigmoid(logits)
+
+
+def harden_semantic(sem_prob: jax.Array, confidence_thr: float = 0.5) -> jax.Array:
+    """(N, H, W, C) probabilities -> (N, H, W) int32 class ids."""
+    if sem_prob.shape[-1] > 1:
+        return jnp.argmax(sem_prob, axis=-1).astype(jnp.int32)
+    return (sem_prob[..., 0] >= confidence_thr).astype(jnp.int32)
+
+
+def find_instance_centers(
+    ctr_hmp: jax.Array,
+    threshold: float = 0.1,
+    nms_kernel: int = 7,
+    max_centers: int = 256,
+):
+    """Center NMS (reference postprocess.py:38-76) with a static-size output.
+
+    Args:
+        ctr_hmp: (H, W) or (H, W, 1) raw heatmap.
+    Returns:
+        centers: (max_centers, 2) int32 (y, x), sorted by descending score.
+        valid: (max_centers,) bool mask of real detections.
+    """
+    if ctr_hmp.ndim == 3:
+        ctr_hmp = ctr_hmp[..., 0]
+    h, w = ctr_hmp.shape
+    x = jnp.where(ctr_hmp > threshold, ctr_hmp, -1.0)
+
+    pad = nms_kernel // 2
+    pooled = nn.max_pool(
+        x[None, :, :, None], (nms_kernel, nms_kernel), strides=(1, 1),
+        padding=[(pad, pad), (pad, pad)])[0, :, :, 0]
+
+    is_peak = (x == pooled) & (x > 0)
+    # unique peak per plateau is guaranteed by strict float comparison in
+    # the reference too; ties across a plateau produce multiple centers in
+    # both implementations.
+    scores = jnp.where(is_peak, x, -jnp.inf).reshape(-1)
+    top_scores, top_idx = jax.lax.top_k(scores, max_centers)
+    valid = top_scores > 0
+    # reference orders centers by row-major nonzero scan
+    # (postprocess.py:75); the per-class instance renumbering depends on
+    # this order, so sort valid centers by flat index (invalid go last).
+    sort_key = jnp.where(valid, top_idx, jnp.iinfo(jnp.int32).max)
+    order = jnp.argsort(sort_key)
+    top_idx = top_idx[order]
+    valid = valid[order]
+    ys = (top_idx // w).astype(jnp.int32)
+    xs = (top_idx % w).astype(jnp.int32)
+    centers = jnp.stack([ys, xs], axis=-1)
+    return centers, valid
+
+
+def group_pixels(
+    centers: jax.Array,
+    valid: jax.Array,
+    offsets: jax.Array,
+    step: float = 1.0,
+    chunk: int = 64,
+):
+    """Assign each pixel the id (1-based) of its nearest offset-shifted center.
+
+    Args:
+        centers: (K, 2) int32 (y, x) in grid units of the offsets map.
+        valid: (K,) bool.
+        offsets: (H, W, 2) float (dy, dx) in *full-resolution* units.
+        step: full-res pixels per offsets-grid cell (4 for the coarse path,
+            reference engines.py:263).
+    Returns:
+        instance_ids: (H, W) int32; 0 only if no valid centers.
+    """
+    h, w, _ = offsets.shape
+    k = centers.shape[0]
+    assert k % chunk == 0 or k < chunk, "max_centers must be divisible by chunk"
+
+    ys = jnp.arange(h, dtype=jnp.float32) * step
+    xs = jnp.arange(w, dtype=jnp.float32) * step
+    coord = jnp.stack(
+        [ys[:, None] + jnp.zeros((1, w)), xs[None, :] + jnp.zeros((h, 1))],
+        axis=-1)
+    loc = (coord + offsets.astype(jnp.float32)).reshape(-1, 2)  # (HW, 2)
+
+    ctr = centers.astype(jnp.float32) * step
+    big = jnp.float32(1e10)
+
+    def sq_dist(c):
+        # squared euclidean distance — argmin-equivalent to the reference's
+        # torch.norm and cheaper on the VPU
+        diff = c[:, None, :] - loc[None, :, :]
+        return jnp.sum(diff * diff, axis=-1)
+
+    if k <= chunk:
+        d = jnp.where(valid[:, None], sq_dist(ctr), big)
+        ids = 1 + jnp.argmin(d, axis=0).astype(jnp.int32)
+        return ids.reshape(h, w)
+
+    n_chunks = k // chunk
+    ctr_chunks = ctr.reshape(n_chunks, chunk, 2)
+    valid_chunks = valid.reshape(n_chunks, chunk)
+
+    def body(carry, inp):
+        best_d, best_id = carry
+        ctr_c, valid_c, base = inp
+        d = jnp.where(valid_c[:, None], sq_dist(ctr_c), big)
+        min_d = jnp.min(d, axis=0)
+        min_i = jnp.argmin(d, axis=0).astype(jnp.int32) + base + 1
+        take = min_d < best_d
+        return (jnp.where(take, min_d, best_d),
+                jnp.where(take, min_i, best_id)), None
+
+    bases = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+    init = (jnp.full((h * w,), big, jnp.float32),
+            jnp.zeros((h * w,), jnp.int32))
+    (best_d, best_id), _ = jax.lax.scan(
+        body, init, (ctr_chunks, valid_chunks, bases))
+    return best_id.reshape(h, w)
+
+
+def merge_semantic_and_instance(
+    sem: jax.Array,
+    ins: jax.Array,
+    label_divisor: int,
+    thing_mask_table: jax.Array,
+    stuff_area: int,
+    void_label: int,
+    max_centers: int,
+    num_classes: int,
+):
+    """Vectorized panoptic merge (reference postprocess.py:223-296).
+
+    Args:
+        sem: (H, W) int32 hardened class ids.
+        ins: (H, W) int32 instance ids (0 = background), values <= max_centers.
+        thing_mask_table: (num_classes,) bool — True where class is a thing.
+    Returns:
+        pan: (H, W) int32 panoptic ids.
+    """
+    h, w = sem.shape
+    sem_f = sem.reshape(-1)
+    ins_f = ins.reshape(-1)
+
+    is_thing_px = thing_mask_table[sem_f]          # semantic_thing_seg
+    thing_seg = ins_f > 0
+
+    # --- instance majority class vote ---------------------------------
+    vote_mask = thing_seg & is_thing_px
+    counts = jnp.zeros((max_centers + 1, num_classes), jnp.int32)
+    counts = counts.at[jnp.where(vote_mask, ins_f, 0),
+                       sem_f].add(vote_mask.astype(jnp.int32))
+    counts = counts.at[0].set(0)  # drop the dump row
+    inst_area = counts.sum(axis=1)                 # (K+1,)
+    inst_class = jnp.argmax(counts, axis=1).astype(jnp.int32)
+    inst_present = inst_area > 0
+
+    # --- per-class 1-based renumbering in ascending instance-id order --
+    # new_id[k] = 1 + #present instances j<k with the same class
+    same_class = inst_class[:, None] == inst_class[None, :]   # (K+1, K+1)
+    kk = max_centers + 1
+    lower = (jnp.arange(kk)[None, :] < jnp.arange(kk)[:, None])
+    prior = jnp.sum(same_class & lower & inst_present[None, :], axis=1)
+    new_id = jnp.where(inst_present, prior.astype(jnp.int32) + 1, 0)
+
+    pan_thing_val = inst_class * label_divisor + new_id        # (K+1,)
+
+    # --- stuff areas ----------------------------------------------------
+    stuff_mask_px = ~thing_seg
+    class_area = jnp.zeros((num_classes,), jnp.int32)
+    class_area = class_area.at[sem_f].add(stuff_mask_px.astype(jnp.int32))
+    stuff_keep = (~thing_mask_table) & (class_area >= stuff_area)
+
+    # --- paint ----------------------------------------------------------
+    pan = jnp.full_like(sem_f, void_label)
+    # stuff first (things overwrite, matching reference order where thing
+    # pixels always win because stuff is only painted where ~thing_seg)
+    stuff_val = sem_f * label_divisor
+    pan = jnp.where(stuff_mask_px & stuff_keep[sem_f], stuff_val, pan)
+    pan = jnp.where(vote_mask & inst_present[ins_f],
+                    pan_thing_val[ins_f], pan)
+    return pan.reshape(h, w)
+
+
+def get_panoptic_segmentation(
+    sem_prob: jax.Array,
+    ctr_hmp: jax.Array,
+    offsets: jax.Array,
+    thing_list,
+    label_divisor: int = 1000,
+    stuff_area: int = 64,
+    void_label: int = 0,
+    threshold: float = 0.1,
+    nms_kernel: int = 7,
+    confidence_thr: float = 0.5,
+    max_centers: int = 256,
+    num_classes: int | None = None,
+):
+    """Full single-image panoptic pipeline on device.
+
+    Args:
+        sem_prob: (H, W, C) semantic probabilities (NOT logits).
+        ctr_hmp: (H, W) or (H, W, 1) center heatmap.
+        offsets: (H, W, 2) center offsets.
+    Returns:
+        pan: (H, W) int32 panoptic segmentation.
+    """
+    if num_classes is None:
+        num_classes = max(int(sem_prob.shape[-1]), max(thing_list) + 1, 2)
+    sem = harden_semantic(sem_prob, confidence_thr)
+
+    centers, valid = find_instance_centers(
+        ctr_hmp, threshold, nms_kernel, max_centers)
+    ins = group_pixels(centers, valid, offsets)
+
+    thing_table = jnp.zeros((num_classes,), bool)
+    for t in thing_list:
+        thing_table = thing_table.at[t].set(True)
+
+    # zero instance ids where there are no valid centers at all
+    any_center = jnp.any(valid)
+    ins = jnp.where(any_center, ins, 0)
+    # restrict instances to thing pixels (reference get_instance_segmentation)
+    ins = jnp.where(thing_table[sem], ins, 0)
+
+    return merge_semantic_and_instance(
+        sem, ins, label_divisor, thing_table, stuff_area, void_label,
+        max_centers, num_classes)
