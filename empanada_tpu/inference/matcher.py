@@ -1,0 +1,161 @@
+"""Instance matching across consecutive slices (host side).
+
+Parity with reference inference/matcher.py:30-326: box-IoU screening, RLE
+IoU matrices, Hungarian assignment (scipy linear_sum_assignment), and the
+stateful per-class RLEMatcher with false-split healing (unmatched
+instances with IoA >= merge_ioa_thr merge into the argmax-IoA target).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from scipy.optimize import linear_sum_assignment
+
+from empanada_tpu.core.boxes import box_iou_pairs, merge_boxes
+from empanada_tpu.core.rle import merge_rles, rle_ioa, rle_iou
+from empanada_tpu.inference.rle import unpack_rle_attrs
+
+__all__ = ["rle_matcher", "RLEMatcher", "merge_attrs", "fast_matcher"]
+
+
+def merge_attrs(rle_attr1, rle_attr2):
+    """Merge two instance attr dicts (enclosing box, union RLE)."""
+    starts, runs = merge_rles(
+        rle_attr1["starts"], rle_attr1["runs"],
+        rle_attr2["starts"], rle_attr2["runs"],
+    )
+    return {
+        "box": merge_boxes(rle_attr1["box"], rle_attr2["box"]),
+        "starts": starts,
+        "runs": runs,
+    }
+
+
+def rle_matcher(target_instance_rles, match_instance_rles, iou_thr=0.5,
+                return_iou=False, return_ioa=False):
+    """Hungarian matching between two RLE instance dicts.
+
+    Returns (matched_labels (target, match), all_labels, matched_ious
+    [, iou_matrix][, ioa_matrix]) with the reference's exact conventions.
+    """
+    target_labels, target_boxes, target_starts, target_runs = \
+        unpack_rle_attrs(target_instance_rles)
+    match_labels, match_boxes, match_starts, match_runs = \
+        unpack_rle_attrs(match_instance_rles)
+
+    if len(target_labels) == 0 or len(match_labels) == 0:
+        empty = np.array([])
+        out = ((empty, empty), (target_labels, match_labels), empty)
+        if return_iou:
+            out = out + (empty,)
+        if return_ioa:
+            out = out + (empty,)
+        return out
+
+    iou_matrix = np.zeros((len(target_labels), len(match_labels)))
+    ioa_matrix = np.zeros_like(iou_matrix) if return_ioa else None
+
+    rows, cols, _, _ = box_iou_pairs(target_boxes, match_boxes)
+    for r1, r2 in zip(rows, cols):
+        iou_matrix[r1, r2] = rle_iou(
+            target_starts[r1], target_runs[r1],
+            match_starts[r2], match_runs[r2])
+        if return_ioa:
+            ioa_matrix[r1, r2] = rle_ioa(
+                target_starts[r1], target_runs[r1],
+                match_starts[r2], match_runs[r2])
+
+    match_rows, match_cols = linear_sum_assignment(iou_matrix, maximize=True)
+    if iou_thr is not None:
+        keep = iou_matrix[match_rows, match_cols] >= iou_thr
+        match_rows, match_cols = match_rows[keep], match_cols[keep]
+
+    matched_labels = (target_labels[match_rows], match_labels[match_cols])
+    matched_ious = iou_matrix[match_rows, match_cols]
+    out = (matched_labels, [target_labels, match_labels], matched_ious)
+    if return_iou:
+        out = out + (iou_matrix,)
+    if return_ioa:
+        out = out + (ioa_matrix,)
+    return out
+
+
+def fast_matcher(target_instance_seg, match_instance_seg, iou_thr=0.5,
+                 return_iou=False, return_ioa=False):
+    """Dense-mask Hungarian matching (train-time metrics path,
+    reference matcher.py:30-134). Implemented by RLE-encoding both masks
+    first — same outputs, one code path."""
+    from empanada_tpu.core.ccl import image_to_runs, region_props_from_runs
+
+    def seg_to_rles(seg):
+        seg = np.asarray(seg).astype(np.int32)
+        s, e, v = image_to_runs(seg)
+        fg = v != 0
+        props = region_props_from_runs(s[fg], e[fg], v[fg], seg.shape)
+        return {lab: {"box": p["box"], "starts": p["starts"],
+                      "runs": p["runs"]} for lab, p in props.items()}
+
+    return rle_matcher(seg_to_rles(target_instance_seg),
+                       seg_to_rles(match_instance_seg),
+                       iou_thr, return_iou, return_ioa)
+
+
+class RLEMatcher:
+    """Stateful per-class forward/backward matcher
+    (reference matcher.py:234-326)."""
+
+    def __init__(self, class_id, label_divisor, merge_iou_thr=0.25,
+                 merge_ioa_thr=0.25, assign_new=True, **kwargs):
+        self.class_id = class_id
+        self.label_divisor = label_divisor
+        self.merge_iou_thr = merge_iou_thr
+        self.merge_ioa_thr = merge_ioa_thr
+        self.assign_new = assign_new
+        self.next_label = class_id * label_divisor + 1
+        self.target_rle = None
+
+    def initialize_target(self, target_instance_rles):
+        self.target_rle = target_instance_rles
+        objs = list(target_instance_rles.keys())
+        if objs:
+            self.next_label = max(objs) + 1
+
+    def update_target(self, instance_rles):
+        self.target_rle = instance_rles
+
+    def __call__(self, match_instance_rle, update_target=True):
+        assert self.target_rle is not None, \
+            "Initialize target rle before running!"
+
+        matched_labels, all_labels, _, ioa_matrix = rle_matcher(
+            self.target_rle, match_instance_rle, self.merge_iou_thr,
+            return_ioa=True)
+
+        target_labels, match_labels = all_labels
+        label_matches = {ml: tl for tl, ml in zip(*matched_labels)}
+
+        matched_rles = {}
+        for i, (ml, mattrs) in enumerate(match_instance_rle.items()):
+            if ml in label_matches:
+                new_label = label_matches[ml]
+            else:
+                ioa_col = ioa_matrix[:, i] if len(ioa_matrix) > 0 else None
+                ioa_max = ioa_col.max() if ioa_col is not None and len(ioa_col) else 0
+                if ioa_max >= self.merge_ioa_thr:
+                    # false split: absorb into the most-covering target
+                    new_label = target_labels[int(np.argmax(ioa_col))]
+                elif self.assign_new:
+                    new_label = self.next_label
+                    self.next_label += 1
+                else:
+                    new_label = ml
+
+            if new_label not in matched_rles:
+                matched_rles[new_label] = mattrs
+            else:
+                matched_rles[new_label] = merge_attrs(
+                    matched_rles[new_label], mattrs)
+
+        if update_target:
+            self.update_target(matched_rles)
+        return matched_rles

@@ -1,0 +1,104 @@
+"""Panoptic segmentation <-> RLE instance dictionaries (host side).
+
+Parity with reference inference/rle.py:26-150. The fast path consumes the
+compact run buffers produced on device (ops/rle_device.extract_runs); the
+dense path encodes a numpy pan_seg directly. Connected components +
+regionprops are a single pass over runs (core.ccl), replacing
+cc3d + skimage.regionprops.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from empanada_tpu.core.ccl import (
+    image_to_runs,
+    region_props_from_runs,
+    runs_connected_components,
+)
+from empanada_tpu.core.rle import string_to_rle
+
+__all__ = [
+    "pan_seg_to_rle_seg",
+    "runs_to_rle_seg",
+    "rle_seg_to_pan_seg",
+    "unpack_rle_attrs",
+]
+
+
+def runs_to_rle_seg(starts, ends, values, shape, labels, label_divisor,
+                    thing_list, force_connected=True):
+    """Build {class: {instance_label: {box, starts, runs}}} from row-split
+    runs of a panoptic map.
+
+    Instance labeling matches the reference (rle.py:56-86): for thing
+    classes with force_connected, connected components are relabeled
+    1..n (offset by class*label_divisor); otherwise the panoptic values
+    themselves are the instance labels.
+    """
+    starts = np.asarray(starts, dtype=np.int64)
+    ends = np.asarray(ends, dtype=np.int64)
+    values = np.asarray(values, dtype=np.int64)
+    keep = starts >= 0
+    starts, ends, values = starts[keep], ends[keep], values[keep]
+
+    h, w = shape
+    rle_seg = {}
+    for label in labels:
+        min_id = label * label_divisor
+        max_id = min_id + label_divisor
+
+        sel = (values >= min_id) & (values < max_id) & (values > 0)
+        s, e, v = starts[sel], ends[sel], values[sel]
+
+        if len(s) == 0:
+            rle_seg[label] = {}
+            continue
+
+        if force_connected and label in thing_list:
+            comp, _ = runs_connected_components(s, e, v, w, connectivity=8)
+            run_labels = comp.astype(np.int64) + min_id
+        else:
+            run_labels = v
+
+        props = region_props_from_runs(s, e, run_labels, (h, w))
+        rle_seg[label] = {
+            lab: {"box": p["box"], "starts": p["starts"], "runs": p["runs"]}
+            for lab, p in props.items()
+        }
+    return rle_seg
+
+
+def pan_seg_to_rle_seg(pan_seg, labels, label_divisor, thing_list,
+                       force_connected=True):
+    """Dense (H, W) panoptic map -> RLE instance dict."""
+    pan_seg = np.asarray(pan_seg)
+    starts, ends, values = image_to_runs(pan_seg.astype(np.int32))
+    return runs_to_rle_seg(starts, ends, values, pan_seg.shape, labels,
+                           label_divisor, thing_list, force_connected)
+
+
+def rle_seg_to_pan_seg(rle_seg, shape):
+    """Inverse: RLE instance dict -> dense (H, W) panoptic map."""
+    pan = np.zeros(int(np.prod(shape)), dtype=np.int64)
+    for instance_attrs in rle_seg.values():
+        for object_id, attrs in instance_attrs.items():
+            for s, r in zip(attrs["starts"], attrs["runs"]):
+                pan[s:s + r] = object_id
+    return pan.reshape(shape)
+
+
+def unpack_rle_attrs(instance_rle_seg):
+    """Dict of instances -> (labels, boxes, starts list, runs list)."""
+    labels, boxes, starts, runs = [], [], [], []
+    for label, attrs in instance_rle_seg.items():
+        labels.append(int(label))
+        boxes.append(attrs["box"])
+        if "rle" in attrs:
+            s, r = string_to_rle(attrs["rle"])
+            starts.append(s)
+            runs.append(r)
+        else:
+            starts.append(np.asarray(attrs["starts"], dtype=np.int64))
+            runs.append(np.asarray(attrs["runs"], dtype=np.int64))
+    return np.array(labels), np.array(boxes), starts, runs

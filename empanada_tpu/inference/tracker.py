@@ -1,0 +1,140 @@
+"""3D instance tracking: accumulate per-slice 2D RLEs into volume RLEs.
+
+Parity with reference inference/tracker.py:11-159, including the axis-aware
+re-raveling (xy slices offset by z*H*W; xz and yz slices re-raveled into
+volume order) and the JSON interchange format used by evaluation and the
+napari plugin.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+
+import numpy as np
+
+from empanada_tpu.core.boxes import merge_boxes
+from empanada_tpu.core.rle import (
+    rle_decode,
+    rle_encode,
+    rle_to_string,
+    string_to_rle,
+)
+
+__all__ = ["InstanceTracker", "to_box3d"]
+
+_AXIS_NUMS = {"xy": 0, "xz": 1, "yz": 2}
+
+
+def to_box3d(index2d, box, axis):
+    h1, w1, h2, w2 = box
+    if axis == "xy":
+        return (index2d, h1, w1, index2d + 1, h2, w2)
+    if axis == "xz":
+        return (h1, index2d, w1, h2, index2d + 1, w2)
+    return (h1, w1, index2d, h2, w2, index2d + 1)
+
+
+class InstanceTracker:
+    def __init__(self, class_id=None, label_divisor=None, shape3d=None,
+                 axis="xy"):
+        assert axis in _AXIS_NUMS
+        self.class_id = class_id
+        self.label_divisor = label_divisor
+        self.shape3d = tuple(shape3d) if shape3d is not None else None
+        self.axis = axis
+        self.finished = False
+        self.reset()
+
+    def reset(self):
+        self.instances = {}
+
+    def update(self, instance_rles, index2d):
+        assert not self.finished, "Cannot update after finish()!"
+        shape3d = self.shape3d
+        ignore = _AXIS_NUMS[self.axis]
+        shape2d = tuple(s for i, s in enumerate(shape3d) if i != ignore)
+
+        for label, attrs in instance_rles.items():
+            box = to_box3d(index2d, attrs["box"], self.axis)
+            starts2d = np.asarray(attrs["starts"], dtype=np.int64)
+            runs2d = np.asarray(attrs["runs"], dtype=np.int64)
+
+            if self.axis == "xy":
+                starts = starts2d + index2d * math.prod(shape2d)
+                runs = runs2d
+            elif self.axis == "xz":
+                # 2D rows are volume-z rows; x runs stay contiguous
+                z, x = np.unravel_index(starts2d, shape2d)
+                starts = np.ravel_multi_index(
+                    (z, np.full_like(z, index2d), x), shape3d)
+                runs = runs2d
+            else:  # yz: runs break per voxel in volume order
+                flat2d = rle_decode(starts2d, runs2d)
+                z, y = np.unravel_index(flat2d, shape2d)
+                starts = np.ravel_multi_index(
+                    (z, y, np.full_like(z, index2d)), shape3d)
+                runs = np.ones_like(starts)
+
+            if label not in self.instances:
+                self.instances[label] = {
+                    "box": box, "starts": [starts], "runs": [runs]}
+            else:
+                inst = self.instances[label]
+                inst["box"] = merge_boxes(box, inst["box"])
+                inst["starts"].append(starts)
+                inst["runs"].append(runs)
+
+    def finish(self):
+        for instance_id, attrs in self.instances.items():
+            if not isinstance(attrs["starts"], list):
+                continue
+            starts = np.concatenate(attrs["starts"])
+            if self.axis == "yz":
+                # voxels were not run length encoded; sort and re-encode
+                starts, runs = rle_encode(np.sort(starts, kind="stable"))
+            else:
+                runs = np.concatenate(attrs["runs"])
+                order = np.argsort(starts, kind="stable")
+                starts, runs = starts[order], runs[order]
+            attrs["starts"] = starts
+            attrs["runs"] = runs
+        self.finished = True
+
+    # --- JSON interchange (same schema as the reference) -----------------
+    def write_to_json(self, savepath):
+        if not self.finished:
+            self.finish()
+
+        save_dict = {
+            "class_id": self.class_id,
+            "label_divisor": self.label_divisor,
+            "shape3d": list(self.shape3d),
+            "axis": self.axis,
+            "finished": True,
+            "instances": {},
+        }
+        for k, attrs in self.instances.items():
+            save_dict["instances"][str(k)] = {
+                "box": [int(b) for b in attrs["box"]],
+                "rle": rle_to_string(attrs["starts"], attrs["runs"]),
+            }
+        with open(savepath, "w") as f:
+            json.dump(save_dict, f, indent=2)
+
+    def load_from_json(self, fpath):
+        with open(fpath) as f:
+            load_dict = json.load(f)
+        self.class_id = load_dict["class_id"]
+        self.label_divisor = load_dict["label_divisor"]
+        self.shape3d = tuple(load_dict["shape3d"])
+        self.axis = load_dict["axis"]
+        self.finished = load_dict.get("finished", True)
+        self.instances = {}
+        for k, attrs in load_dict["instances"].items():
+            starts, runs = string_to_rle(attrs["rle"])
+            self.instances[int(k) if str(k).isdigit() else k] = {
+                "box": tuple(attrs["box"]),
+                "starts": starts,
+                "runs": runs,
+            }
