@@ -97,14 +97,16 @@ def split_ranges_on_chunks(starts, runs, shape, chunks):
     return out
 
 
-def chunked_fill_instances(store, instances: dict, chunks=None):
+def chunked_fill_instances(store, instances: dict, chunks=None, processes=1):
     """Fill a chunked 3D store with RLE instances, one chunk at a time.
 
     ``store`` needs .shape, .dtype, and slice get/setitem (zarr array,
     empanada_tpu ChunkedVolume, numpy array or memmap all qualify).
     Ranges are partitioned per chunk first so each chunk is read/written
     exactly once (the write-race-free design of the reference's
-    zarr_fill_instances, zarr_utils.py:88-175).
+    zarr_fill_instances, zarr_utils.py:88-175); with ``processes > 1``
+    disjoint chunks are filled by a thread pool (numpy/C++ fills release
+    the GIL; threads avoid the reference mp.Pool's pickling overhead).
     """
     shape = store.shape
     if chunks is None:
@@ -120,7 +122,8 @@ def chunked_fill_instances(store, instances: dict, chunks=None):
         for chunk_idx, (s, r) in split.items():
             per_chunk.setdefault(chunk_idx, []).append((int(instance_id), s, r))
 
-    for (ci, cj, ck), fills in per_chunk.items():
+    def fill_chunk(item):
+        (ci, cj, ck), fills = item
         z0, y0, x0 = ci * cd, cj * ch, ck * cw
         z1, y1, x1 = min(z0 + cd, d), min(y0 + ch, h), min(x0 + cw, w)
         block = np.asarray(store[z0:z1, y0:y1, x0:x1])
@@ -140,5 +143,14 @@ def chunked_fill_instances(store, instances: dict, chunks=None):
             flat[idx] = instance_id
 
         store[z0:z1, y0:y1, x0:x1] = flat.reshape(z1 - z0, bh, bw)
+
+    if processes > 1 and len(per_chunk) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=processes) as pool:
+            list(pool.map(fill_chunk, per_chunk.items()))
+    else:
+        for item in per_chunk.items():
+            fill_chunk(item)
 
     return store

@@ -1,0 +1,234 @@
+"""Reusable inference pipeline pieces (reference inference/patterns.py:15-350).
+
+The reference overlaps postprocessing with GPU compute via a
+multiprocessing.Queue worker process that receives dense pan_segs. Here the
+dense->sparse frontier is on device (ops/rle_device.extract_runs), so the
+host worker is a plain thread that receives *compact run buffers* still
+resident on device: the main loop dispatches model forward + fused
+postprocess + run extraction asynchronously, and the worker thread blocks
+on the tiny D2H transfer, then does run-based CCL, RLE grouping, and
+Hungarian matching while the next slice computes. If a slice overflows the
+static run budget, the worker transparently falls back to pulling the dense
+panoptic map.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+
+import numpy as np
+
+from empanada_tpu.core.fill import chunked_fill_instances, numpy_fill_instances
+from empanada_tpu.inference import filters as _filters_mod
+from empanada_tpu.inference.consensus import (
+    merge_objects_from_trackers,
+    merge_semantic_from_trackers,
+)
+from empanada_tpu.inference.matcher import RLEMatcher
+from empanada_tpu.inference.rle import pan_seg_to_rle_seg, runs_to_rle_seg
+from empanada_tpu.inference.tracker import InstanceTracker
+
+__all__ = [
+    "create_matchers",
+    "create_axis_trackers",
+    "apply_matchers",
+    "ForwardMatcher",
+    "forward_matching",
+    "backward_matching",
+    "update_trackers",
+    "finish_tracking",
+    "apply_filters",
+    "get_axis_trackers_by_class",
+    "create_instance_consensus",
+    "create_semantic_consensus",
+    "fill_volume",
+    "fill_panoptic_volume",
+]
+
+
+def create_matchers(thing_list, label_divisor, merge_iou_thr=0.25,
+                    merge_ioa_thr=0.25):
+    """One stateful RLEMatcher per thing class (reference patterns.py:33)."""
+    return [
+        RLEMatcher(thing_class, label_divisor, merge_iou_thr, merge_ioa_thr)
+        for thing_class in thing_list
+    ]
+
+
+def create_axis_trackers(axes, class_labels, label_divisor, shape):
+    """{'xy': axis, ...} -> {'xy': [tracker/class, ...], ...}
+    (reference patterns.py:41)."""
+    return {
+        axis_name: [
+            InstanceTracker(class_id, label_divisor, shape, axis_name)
+            for class_id in class_labels
+        ]
+        for axis_name in axes
+    }
+
+
+def apply_matchers(rle_seg, matchers):
+    """Forward-match each class's instances against the previous slice
+    (reference patterns.py:55)."""
+    for matcher in matchers:
+        class_id = matcher.class_id
+        if matcher.target_rle is None:
+            matcher.initialize_target(rle_seg[class_id])
+        else:
+            rle_seg[class_id] = matcher(rle_seg[class_id])
+    return rle_seg
+
+
+class ForwardMatcher:
+    """Threaded forward-matching pipeline stage.
+
+    The TPU-native replacement for the reference's mp.Process +
+    forward_matching loop (patterns.py:68-99): ``put`` accepts either a
+    device panoptic map, a precomputed (starts, ends, values, n_runs)
+    device tuple from ops/rle_device.extract_runs (preferred — only
+    O(#runs) bytes cross PCIe), or None (median queue still filling).
+    ``finish`` joins the worker and returns the rle_stack.
+    """
+
+    def __init__(self, matchers, labels, label_divisor, thing_list,
+                 queue_size=8):
+        self.matchers = matchers
+        self.labels = list(labels)
+        self.label_divisor = label_divisor
+        self.thing_list = list(thing_list)
+        self.rle_stack = []
+        self._queue = queue.Queue(maxsize=queue_size)
+        self._exc = None
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _to_rle_seg(self, item):
+        if isinstance(item, tuple) and len(item) == 5:
+            pan, starts, ends, values, n_runs = item
+            if int(n_runs) <= len(np.asarray(starts)):
+                shape = tuple(pan.shape[-2:])
+                return runs_to_rle_seg(
+                    np.asarray(starts), np.asarray(ends), np.asarray(values),
+                    shape, self.labels, self.label_divisor, self.thing_list)
+            item = pan  # run budget overflow: fall back to the dense map
+        pan_seg = np.asarray(item).squeeze()
+        return pan_seg_to_rle_seg(
+            pan_seg, self.labels, self.label_divisor, self.thing_list)
+
+    def _run(self):
+        while True:
+            item = self._queue.get()
+            if item is None:
+                break
+            try:
+                rle_seg = self._to_rle_seg(item)
+                rle_seg = apply_matchers(rle_seg, self.matchers)
+                self.rle_stack.append(rle_seg)
+            except BaseException as e:  # surface in finish()
+                self._exc = e
+                break
+
+    def put(self, pan_seg):
+        if pan_seg is None:
+            return
+        self._queue.put(pan_seg)
+
+    def finish(self):
+        self._queue.put(None)
+        self._thread.join()
+        if self._exc is not None:
+            raise self._exc
+        return self.rle_stack
+
+
+def forward_matching(pan_segs, matchers, labels, label_divisor, thing_list):
+    """Synchronous convenience wrapper over ForwardMatcher for an iterable
+    of pan_segs; returns the rle_stack."""
+    fm = ForwardMatcher(matchers, labels, label_divisor, thing_list)
+    for pan_seg in pan_segs:
+        fm.put(pan_seg)
+    return fm.finish()
+
+
+def backward_matching(rle_stack, matchers, axis_len):
+    """Generator matching instances backward through the stack with
+    assign_new=False (reference patterns.py:102-121). Yields
+    (index, rle_seg)."""
+    for matcher in matchers:
+        matcher.target_rle = None
+        matcher.assign_new = False
+
+    for rev_idx in range(axis_len - 1, -1, -1):
+        rle_seg = apply_matchers(rle_stack[rev_idx], matchers)
+        yield rev_idx, rle_seg
+
+
+def update_trackers(rle_seg, index, trackers):
+    """Accumulate one matched slice into each class tracker
+    (reference patterns.py:123)."""
+    for tracker in trackers:
+        tracker.update(rle_seg[tracker.class_id], index)
+
+
+def finish_tracking(trackers):
+    for tracker in trackers:
+        tracker.finish()
+
+
+def apply_filters(tracker, filters_dict):
+    """Apply config-specified filters in place
+    (reference patterns.py:141-152)."""
+    if filters_dict is None:
+        return
+    for filt in filters_dict:
+        kwargs = {k: v for k, v in filt.items() if k != "name"}
+        getattr(_filters_mod, filt["name"])(tracker, **kwargs)
+
+
+def get_axis_trackers_by_class(trackers, class_id):
+    return [
+        tracker
+        for axis_trackers in trackers.values()
+        for tracker in axis_trackers
+        if tracker.class_id == class_id
+    ]
+
+
+def create_instance_consensus(class_trackers, pixel_vote_thr=2,
+                              cluster_iou_thr=0.75, bypass=False):
+    """Cross-axis instance consensus -> new tracker
+    (reference patterns.py:168-186)."""
+    first = class_trackers[0]
+    consensus_tracker = InstanceTracker(
+        first.class_id, first.label_divisor, first.shape3d, "xy")
+    consensus_tracker.instances = merge_objects_from_trackers(
+        class_trackers, pixel_vote_thr, cluster_iou_thr, bypass)
+    consensus_tracker.finished = True
+    return consensus_tracker
+
+
+def create_semantic_consensus(class_trackers, pixel_vote_thr=2):
+    """Cross-axis semantic vote -> new tracker
+    (reference patterns.py:188-202)."""
+    first = class_trackers[0]
+    consensus_tracker = InstanceTracker(
+        first.class_id, first.label_divisor, first.shape3d, "xy")
+    consensus_tracker.instances = merge_semantic_from_trackers(
+        class_trackers, pixel_vote_thr)
+    consensus_tracker.finished = True
+    return consensus_tracker
+
+
+def fill_volume(volume, instances, processes=4):
+    """Fill a numpy array or chunked store with RLE instances, in place
+    (reference patterns.py:204-213)."""
+    if isinstance(volume, np.ndarray):
+        numpy_fill_instances(volume, instances)
+    else:
+        chunked_fill_instances(volume, instances, processes=processes)
+
+
+def fill_panoptic_volume(volume, trackers, processes=4):
+    for tracker in trackers:
+        fill_volume(volume, tracker.instances, processes)

@@ -1,0 +1,6 @@
+from empanada_tpu.parallel.mesh import (
+    batch_sharding,
+    create_mesh,
+    replicated_sharding,
+    shard_batch,
+)
