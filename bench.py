@@ -1,0 +1,101 @@
+"""Headline benchmark: MitoNet orthoplane-style slice inference throughput.
+
+Measures end-to-end slices/sec/chip for the production 3D inference path
+(reference pdl_inference3d.py §3.2): per-slice model forward (MitoNet =
+PanopticBiFPNPR on regnety_6p4gf, bf16) + median filtering + full panoptic
+postprocess + on-device run extraction + threaded host RLE/matching —
+everything a real volume pass does except disk IO.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "slices/s", "vs_baseline": N}
+
+vs_baseline: the reference publishes no numbers (BASELINE.md). The
+denominator is an estimated reference-GPU throughput for the same model +
+postprocess at 512^2 (MitoNet-class PDL/BiFPN-PR inference with CPU
+postprocess typically sustains O(10) slices/s on a V100-class GPU); kept
+as an explicit constant so the ratio is transparent and stable across
+rounds.
+"""
+
+import json
+import time
+
+import numpy as np
+
+REFERENCE_GPU_SLICES_PER_SEC = 10.0  # estimated V100-class baseline, 512^2
+N_SLICES = 64
+H = W = 512
+
+
+def main():
+    import jax
+
+    from empanada_tpu.inference import patterns
+    from empanada_tpu.inference.engines import (
+        JittedModel,
+        PanopticDeepLabRenderEngine3d,
+    )
+    from empanada_tpu.models import create_model
+    from empanada_tpu.ops.rle_device import extract_runs
+
+    rng = np.random.default_rng(0)
+    # synthetic EM-like volume: blobs on noise
+    vol = rng.normal(0.5, 0.1, (N_SLICES, H, W)).astype(np.float32)
+    yy, xx = np.mgrid[:H, :W]
+    for cy, cx, r in [(128, 128, 60), (300, 380, 90), (420, 100, 40)]:
+        disk = (yy - cy) ** 2 + (xx - cx) ** 2 <= r * r
+        vol[:, disk] -= 0.3
+
+    model = create_model(
+        "PanopticBiFPNPR", encoder="regnety_6p4gf", num_classes=1,
+        dtype="bfloat16")
+    variables = model.init(
+        {"params": jax.random.key(0), "points": jax.random.key(1),
+         "dropout": jax.random.key(2)},
+        np.zeros((1, H, W, 1), np.float32), train=False)
+    jm = JittedModel(model, variables)
+
+    label_divisor = 1000
+    engine = PanopticDeepLabRenderEngine3d(
+        jm, thing_list=[1], label_divisor=label_divisor,
+        median_kernel_size=3, padding_factor=128, coarse_boundaries=True,
+        max_centers=256)
+    matchers = patterns.create_matchers([1], label_divisor, 0.25, 0.25)
+    fm = patterns.ForwardMatcher(matchers, [1], label_divisor, [1])
+
+    def run_slice(i):
+        pan = engine(vol[i][None, :, :, None], (H, W))
+        if pan is not None:
+            fm.put((pan,) + extract_runs(pan, max_runs=8 * H))
+        return pan
+
+    # warmup: compile model fwd + postprocess + extraction
+    for i in range(4):
+        run_slice(i)
+    jax.block_until_ready(engine.queue.median_queue[-1]["sem"])
+
+    engine.queue.reset()
+    for m in matchers:
+        m.target_rle = None
+
+    t0 = time.perf_counter()
+    for i in range(N_SLICES):
+        run_slice(i)
+    for pan in engine.end():
+        fm.put((pan,) + extract_runs(pan, max_runs=8 * H))
+    rle_stack = fm.finish()  # joins the host matcher thread
+    elapsed = time.perf_counter() - t0
+
+    assert len(rle_stack) == N_SLICES, len(rle_stack)
+    slices_per_sec = N_SLICES / elapsed
+
+    print(json.dumps({
+        "metric": "mitonet_slice_inference_throughput",
+        "value": round(slices_per_sec, 3),
+        "unit": "slices/s",
+        "vs_baseline": round(slices_per_sec / REFERENCE_GPU_SLICES_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
