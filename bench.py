@@ -60,23 +60,24 @@ def main():
         jm, thing_list=[1], label_divisor=label_divisor,
         median_kernel_size=3, padding_factor=128, coarse_boundaries=True,
         max_centers=256)
-    matchers = patterns.create_matchers([1], label_divisor, 0.25, 0.25)
-    fm = patterns.ForwardMatcher(matchers, [1], label_divisor, [1])
+    fm = None
 
     def run_slice(i):
         pan = engine(vol[i][None, :, :, None], (H, W))
-        if pan is not None:
+        if pan is not None and fm is not None:
             fm.put((pan,) + extract_runs(pan, max_runs=8 * H))
         return pan
 
     # warmup: compile model fwd + postprocess + extraction
     for i in range(4):
-        run_slice(i)
+        pan = run_slice(i)
+        if pan is not None:
+            jax.block_until_ready(extract_runs(pan, max_runs=8 * H))
     jax.block_until_ready(engine.queue.median_queue[-1]["sem"])
-
     engine.queue.reset()
-    for m in matchers:
-        m.target_rle = None
+
+    matchers = patterns.create_matchers([1], label_divisor, 0.25, 0.25)
+    fm = patterns.ForwardMatcher(matchers, [1], label_divisor, [1])
 
     t0 = time.perf_counter()
     for i in range(N_SLICES):

@@ -1,0 +1,213 @@
+"""Orthoplane / stack 3D inference CLI.
+
+The canonical product flow (reference scripts/pdl_inference3d.py:20-241,
+call stack SURVEY §3.2): per-axis slice inference with median filtering ->
+forward/backward RLE matching -> instance tracking -> cross-axis consensus
+-> chunked volume fill. Exposes the reference CLI's full flag surface.
+
+TPU redesign: the model forward + panoptic postprocess + run extraction
+are one jitted device pipeline per axis; RLE/matching runs on a host
+thread overlapped with device compute (inference/patterns.ForwardMatcher);
+the filled output is a zarr-v2 array.
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+import time
+
+import numpy as np
+
+__all__ = ["main", "run_inference3d"]
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser(
+        description="Runs empanada_tpu model inference.")
+    parser.add_argument("config", type=str,
+                        help="Path to an exported model descriptor yaml")
+    parser.add_argument("volume_path", type=str,
+                        help="Path to a zarr/tiff/npy volume")
+    parser.add_argument("-data-key", type=str, default=None,
+                        help="Array key within a zarr group")
+    parser.add_argument("-mode", type=str, choices=["orthoplane", "stack"],
+                        default="orthoplane")
+    parser.add_argument("-qlen", type=int, default=3,
+                        choices=[1, 3, 5, 7, 9, 11])
+    parser.add_argument("-nmax", type=int, dest="label_divisor",
+                        default=20000)
+    parser.add_argument("-seg-thr", type=float, dest="seg_thr", default=0.3)
+    parser.add_argument("-nms-thr", type=float, dest="nms_thr", default=0.1)
+    parser.add_argument("-nms-kernel", type=int, dest="nms_kernel", default=3)
+    parser.add_argument("-iou-thr", type=float, dest="iou_thr", default=0.25)
+    parser.add_argument("-ioa-thr", type=float, dest="ioa_thr", default=0.25)
+    parser.add_argument("-pixel-vote-thr", type=int, dest="pixel_vote_thr",
+                        default=2, choices=[1, 2, 3])
+    parser.add_argument("-cluster-iou-thr", type=float,
+                        dest="cluster_iou_thr", default=0.75)
+    parser.add_argument("-min-size", type=int, dest="min_size", default=500)
+    parser.add_argument("-min-span", type=int, dest="min_span", default=4)
+    parser.add_argument("-downsample-f", type=int, dest="downsample_f",
+                        default=1)
+    parser.add_argument("-max-centers", type=int, dest="max_centers",
+                        default=256,
+                        help="Static per-slice instance budget (TPU shapes)")
+    parser.add_argument("--one-view", action="store_true")
+    parser.add_argument("--fine-boundaries", action="store_true")
+    parser.add_argument("--save-panoptic", action="store_true")
+    return parser.parse_args(argv)
+
+
+def run_inference3d(
+    model, volume, *, labels, thing_list, class_names=None,
+    mode="orthoplane", qlen=3, label_divisor=20000, seg_thr=0.3,
+    nms_thr=0.1, nms_kernel=3, iou_thr=0.25, ioa_thr=0.25,
+    pixel_vote_thr=2, cluster_iou_thr=0.75, min_size=500, min_span=4,
+    downsample_f=1, one_view=False, fine_boundaries=False,
+    padding_factor=128, max_centers=256, save_panoptic_dir=None,
+    progress=True,
+):
+    """Full 3D inference; returns {class_id: consensus InstanceTracker}.
+
+    ``model``: callable (image, render_steps, interpolate_ins) -> output
+    dict (a JittedModel from export.load_exported_model).
+    """
+    from empanada_tpu.data import VolumeDataset
+    from empanada_tpu.inference import patterns
+    from empanada_tpu.inference.engines import PanopticDeepLabRenderEngine3d
+    from empanada_tpu.ops.rle_device import extract_runs
+
+    shape = tuple(volume.shape)
+    axes = {"xy": 0} if mode == "stack" else {"xy": 0, "xz": 1, "yz": 2}
+    # one-view lets single-stack instances through consensus via vote_thr 1
+    if mode == "orthoplane" and one_view:
+        pixel_vote_thr_count = pixel_vote_thr
+    else:
+        pixel_vote_thr_count = pixel_vote_thr
+
+    trackers = patterns.create_axis_trackers(
+        axes, labels, label_divisor, shape)
+
+    for axis_name, axis in axes.items():
+        t_axis = time.time()
+        engine = PanopticDeepLabRenderEngine3d(
+            model, thing_list,
+            label_divisor=label_divisor,
+            median_kernel_size=qlen,
+            nms_threshold=nms_thr,
+            nms_kernel=nms_kernel,
+            confidence_thr=seg_thr,
+            padding_factor=padding_factor,
+            coarse_boundaries=not fine_boundaries,
+            max_centers=max_centers,
+            stuff_area=0,
+        )
+        matchers = patterns.create_matchers(
+            thing_list, label_divisor, iou_thr, ioa_thr)
+        fm = patterns.ForwardMatcher(matchers, labels, label_divisor,
+                                     thing_list)
+        dataset = VolumeDataset(volume, axis=axis, scale=downsample_f)
+        n = len(dataset)
+        max_runs = 16 * max(shape)
+
+        pan_stack = [] if save_panoptic_dir else None
+        for i in range(n):
+            ex = dataset[i]
+            pan = engine(ex["image"][..., None].astype(np.float32),
+                         ex["size"], upsampling=downsample_f)
+            if pan is not None:
+                fm.put((pan,) + extract_runs(pan, max_runs=max_runs))
+                if pan_stack is not None:
+                    pan_stack.append(np.asarray(pan))
+        for pan in engine.end(upsampling=downsample_f):
+            fm.put((pan,) + extract_runs(pan, max_runs=max_runs))
+            if pan_stack is not None:
+                pan_stack.append(np.asarray(pan))
+
+        rle_stack = fm.finish()
+        assert len(rle_stack) == n, (len(rle_stack), n)
+
+        for rev_idx, rle_seg in patterns.backward_matching(
+                rle_stack, matchers, n):
+            patterns.update_trackers(rle_seg, rev_idx, trackers[axis_name])
+        patterns.finish_tracking(trackers[axis_name])
+        for tracker in trackers[axis_name]:
+            patterns.apply_filters(tracker, [
+                {"name": "remove_small_objects", "min_size": min_size},
+                {"name": "remove_pancakes", "min_span": min_span},
+            ])
+        if progress:
+            print(f"[{axis_name}] {n} slices in {time.time() - t_axis:.1f}s")
+        if pan_stack is not None:
+            os.makedirs(save_panoptic_dir, exist_ok=True)
+            np.save(os.path.join(save_panoptic_dir,
+                                 f"panoptic_{axis_name}.npy"),
+                    np.stack(pan_stack))
+
+    # per-class consensus
+    consensus = {}
+    for class_id in labels:
+        class_trackers = patterns.get_axis_trackers_by_class(
+            trackers, class_id)
+        if mode == "stack":
+            consensus[class_id] = class_trackers[0]
+            continue
+        if class_id in thing_list:
+            consensus[class_id] = patterns.create_instance_consensus(
+                class_trackers, pixel_vote_thr_count, cluster_iou_thr,
+                bypass=one_view)
+        else:
+            consensus[class_id] = patterns.create_semantic_consensus(
+                class_trackers, pixel_vote_thr_count)
+    return consensus
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    assert math.log2(args.downsample_f).is_integer(), \
+        "downsample factor must be a power of 2"
+
+    from empanada_tpu.data.zarr_store import create_zarr, read_volume
+    from empanada_tpu.export import load_exported_model
+    from empanada_tpu.inference import patterns
+
+    model, desc = load_exported_model(args.config)
+    path = args.volume_path
+    if args.data_key and os.path.isdir(path):
+        path = os.path.join(path, args.data_key)
+    volume = read_volume(path)
+    print(f"volume {volume.shape} from {args.volume_path}")
+
+    consensus = run_inference3d(
+        model, volume,
+        labels=desc["labels"], thing_list=desc["thing_list"],
+        class_names=desc.get("class_names"),
+        mode=args.mode, qlen=args.qlen, label_divisor=args.label_divisor,
+        seg_thr=args.seg_thr, nms_thr=args.nms_thr,
+        nms_kernel=args.nms_kernel, iou_thr=args.iou_thr,
+        ioa_thr=args.ioa_thr, pixel_vote_thr=args.pixel_vote_thr,
+        cluster_iou_thr=args.cluster_iou_thr, min_size=args.min_size,
+        min_span=args.min_span, downsample_f=args.downsample_f,
+        one_view=args.one_view, fine_boundaries=args.fine_boundaries,
+        padding_factor=desc.get("padding_factor", 128),
+        max_centers=args.max_centers,
+        save_panoptic_dir=(os.path.dirname(args.volume_path)
+                           if args.save_panoptic else None),
+    )
+
+    # fill each class consensus into a zarr next to the input
+    base = args.volume_path.rstrip("/").rsplit(".zarr", 1)[0]
+    for class_id, tracker in consensus.items():
+        out_path = f"{base}_{args.mode}_seg_class{class_id}.zarr"
+        out = create_zarr(out_path, tuple(volume.shape),
+                          dtype=np.uint32, overwrite=True)
+        patterns.fill_volume(out, tracker.instances, processes=4)
+        tracker.write_to_json(f"{base}_{args.mode}_class{class_id}.json")
+        print(f"class {class_id}: {len(tracker.instances)} instances "
+              f"-> {out_path}")
+
+
+if __name__ == "__main__":
+    main()

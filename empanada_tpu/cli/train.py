@@ -1,0 +1,45 @@
+"""Training CLI (reference scripts/train.py:69-99).
+
+One process drives all local devices via the jitted data-parallel step;
+multi-host runs launch one process per host with jax.distributed
+coordinates (replacing torch mp.spawn + NCCL rendezvous).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+__all__ = ["main"]
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser(description="empanada_tpu training")
+    parser.add_argument("config", type=str, help="Path to a config yaml")
+    parser.add_argument("--epochs", type=int, default=None,
+                        help="Override TRAIN.schedule_params.epochs")
+    parser.add_argument("--coordinator", type=str, default=None,
+                        help="Multi-host coordinator address host:port")
+    parser.add_argument("--num-processes", type=int, default=None)
+    parser.add_argument("--process-id", type=int, default=None)
+    return parser.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    from empanada_tpu.config import load_config
+    from empanada_tpu.parallel.mesh import initialize_distributed
+    from empanada_tpu.train import Trainer
+
+    initialize_distributed(args.coordinator, args.num_processes,
+                           args.process_id)
+
+    config = load_config(args.config)
+    assert config["MODEL"]["arch"], "config must name MODEL.arch"
+
+    trainer = Trainer(config)
+    trainer.fit(epochs=args.epochs)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,161 @@
+"""Torch-checkpoint weight loading (CEM pretrained encoders).
+
+The reference loads CEM SwAV-pretrained torch encoders into its models
+(reference scripts/train.py:127-157: 'encoder_pretraining' adds the
+'encoder.' prefix, 'whole_pretraining' strips 'module.'). Those .pth.tar
+files hold torch state dicts; this module converts them into the flax
+encoder trees by *structural order matching*: both frameworks register
+conv/BN parameters in identical definition order, so pairing the i-th
+torch conv with the i-th flax conv kernel (shape-checked, with the
+OIHW->HWIO transpose) reproduces the mapping without a hand-written name
+table per architecture. Works for the resnet and regnet families.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from flax import traverse_util
+
+__all__ = ["load_torch_state_dict", "convert_encoder_state_dict",
+           "load_encoder_pretraining"]
+
+
+def load_torch_state_dict(path):
+    """Load a torch checkpoint on CPU; returns (state_dict, norms)."""
+    import torch
+
+    state = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(state, dict) and "state_dict" in state:
+        sd = state["state_dict"]
+        norms = state.get("norms")
+    else:
+        sd = state
+        norms = None
+    # strip DDP 'module.' prefixes (reference train.py:131-138)
+    sd = {
+        (k[len("module."):] if k.startswith("module.") else k): v
+        for k, v in sd.items()
+    }
+    if norms is not None and not isinstance(norms, dict):
+        norms = {"mean": float(norms[0]), "std": float(norms[1])}
+    return sd, norms
+
+
+def _classify_torch(sd):
+    """Split a torch state dict (in key order) into typed queues."""
+    prefixes_bn = set()
+    for k in sd:
+        if k.endswith(".running_mean"):
+            prefixes_bn.add(k[: -len(".running_mean")])
+
+    convs, conv_biases, bn_scales, bn_biases, bn_means, bn_vars = \
+        [], [], [], [], [], []
+    for k, v in sd.items():
+        if k.startswith("fc.") or ".fc." in k:
+            continue  # classification head, never used (train.py:146)
+        v = np.asarray(v.detach().numpy() if hasattr(v, "detach") else v)
+        prefix = k.rsplit(".", 1)[0]
+        leaf = k.rsplit(".", 1)[1]
+        if prefix in prefixes_bn:
+            {"weight": bn_scales, "bias": bn_biases,
+             "running_mean": bn_means, "running_var": bn_vars,
+             "num_batches_tracked": []}.get(leaf, []).append((k, v))
+        elif leaf == "weight" and v.ndim == 4:
+            convs.append((k, v))
+        elif leaf == "bias":
+            conv_biases.append((k, v))
+    return convs, conv_biases, bn_scales, bn_biases, bn_means, bn_vars
+
+
+def convert_encoder_state_dict(sd, params, batch_stats):
+    """Map torch encoder weights onto flax (params, batch_stats) trees.
+
+    Returns (new_params, new_batch_stats, report) — report lists matched
+    and skipped entries. Raises on any shape mismatch.
+    """
+    convs, conv_biases, bn_scales, bn_biases, bn_means, bn_vars = \
+        _classify_torch(sd)
+
+    flat_p = traverse_util.flatten_dict(params)
+    flat_s = traverse_util.flatten_dict(batch_stats) if batch_stats else {}
+
+    queues = {
+        "kernel": list(convs),
+        "conv_bias": list(conv_biases),
+        "scale": list(bn_scales),
+        "bn_bias": list(bn_biases),
+        "mean": list(bn_means),
+        "var": list(bn_vars),
+    }
+    matched = []
+
+    def take(queue_name, path, expect_shape, transform=None):
+        queue = queues[queue_name]
+        if not queue:
+            raise ValueError(f"torch checkpoint ran out of {queue_name} "
+                             f"params at flax path {'/'.join(path)}")
+        k, v = queue.pop(0)
+        if transform is not None:
+            v = transform(v)
+        if tuple(v.shape) != tuple(expect_shape):
+            raise ValueError(
+                f"shape mismatch {k} {v.shape} -> "
+                f"{'/'.join(path)} {tuple(expect_shape)}")
+        matched.append((k, "/".join(path)))
+        return v.astype(np.float32)
+
+    new_p = {}
+    for path, p in flat_p.items():
+        leaf = path[-1]
+        in_bn = any("BatchNorm" in seg for seg in path)
+        if leaf == "kernel" and p.ndim == 4:
+            new_p[path] = take("kernel", path, p.shape,
+                               lambda v: v.transpose(2, 3, 1, 0))
+        elif leaf == "scale" and in_bn:
+            new_p[path] = take("scale", path, p.shape)
+        elif leaf == "bias" and in_bn:
+            new_p[path] = take("bn_bias", path, p.shape)
+        elif leaf == "bias":
+            new_p[path] = take("conv_bias", path, p.shape)
+        else:
+            new_p[path] = p
+
+    new_s = {}
+    for path, s in flat_s.items():
+        leaf = path[-1]
+        if leaf == "mean":
+            new_s[path] = take("mean", path, s.shape)
+        elif leaf == "var":
+            new_s[path] = take("var", path, s.shape)
+        else:
+            new_s[path] = s
+
+    leftovers = {k: len(q) for k, q in queues.items() if q}
+    report = {"matched": len(matched), "leftover": leftovers}
+    return (traverse_util.unflatten_dict(new_p),
+            traverse_util.unflatten_dict(new_s), report)
+
+
+def load_encoder_pretraining(variables, path, encoder_key="encoder_mod"):
+    """Load a CEM torch encoder checkpoint into a full model's variables
+    (the 'encoder_pretraining' path, reference train.py:141-157).
+
+    Returns (new_variables, norms)."""
+    sd, norms = load_torch_state_dict(path)
+    params = dict(variables["params"])
+    batch_stats = dict(variables.get("batch_stats", {}))
+
+    enc_p, enc_s, report = convert_encoder_state_dict(
+        sd, params[encoder_key], batch_stats.get(encoder_key, {}))
+    params[encoder_key] = enc_p
+    if encoder_key in batch_stats:
+        batch_stats[encoder_key] = enc_s
+
+    print(f"=> loaded encoder pretraining from {path}: "
+          f"{report['matched']} tensors"
+          + (f", leftover {report['leftover']}" if report["leftover"]
+             else ""))
+    new_vars = {"params": params}
+    if batch_stats:
+        new_vars["batch_stats"] = batch_stats
+    return new_vars, norms

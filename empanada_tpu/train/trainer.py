@@ -22,6 +22,7 @@ from __future__ import annotations
 import time
 from functools import partial
 
+import flax
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -163,6 +164,27 @@ class Trainer:
         variables = jax.jit(
             partial(self.model.init, train=True),
             static_argnames=())(rngs, jnp.zeros(input_shape, jnp.float32))
+        variables = flax.core.unfreeze(variables) \
+            if hasattr(flax.core, "unfreeze") else dict(variables)
+
+        # pretrained weights (reference train.py:127-157)
+        if tcfg.get("whole_pretraining"):
+            from empanada_tpu.export import load_params
+
+            variables = load_params(tcfg["whole_pretraining"],
+                                    target=variables)
+            print(f"=> loaded whole pretraining "
+                  f"{tcfg['whole_pretraining']}")
+        elif tcfg.get("encoder_pretraining"):
+            from empanada_tpu.train.torch_weights import (
+                load_encoder_pretraining,
+            )
+
+            variables, norms = load_encoder_pretraining(
+                variables, tcfg["encoder_pretraining"])
+            if norms:
+                self.norms = norms
+
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
 

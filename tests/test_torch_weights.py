@@ -1,0 +1,103 @@
+"""Golden parity tests: reference torch encoders vs flax encoders through
+the structural weight converter. Loads the reference's torch-only encoder
+modules as test oracles (never imported by library code)."""
+
+import importlib.util
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+REF = "/root/reference/empanada/models/encoders/resnet.py"
+
+
+def _load_ref_resnet():
+    spec = importlib.util.spec_from_file_location("ref_resnet", REF)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+class TestTorchToFlax:
+    @pytest.mark.parametrize("name", ["resnet18", "resnet50"])
+    def test_resnet_forward_parity(self, name):
+        import jax
+
+        from empanada_tpu.models.encoders import get_encoder
+        from empanada_tpu.train.torch_weights import (
+            convert_encoder_state_dict,
+        )
+
+        ref = _load_ref_resnet()
+        tmodel = getattr(ref, name)(in_channels=1).eval()
+        # randomize running stats so eval-mode BN is a real test
+        with torch.no_grad():
+            for m in tmodel.modules():
+                if isinstance(m, torch.nn.BatchNorm2d):
+                    m.running_mean.normal_(0, 0.1)
+                    m.running_var.uniform_(0.5, 1.5)
+
+        fmodel = get_encoder(name)
+        x = np.random.default_rng(0).normal(
+            0, 1, (1, 64, 64, 1)).astype(np.float32)
+        variables = fmodel.init(jax.random.key(0), x, False)
+
+        params, batch_stats, report = convert_encoder_state_dict(
+            tmodel.state_dict(), variables["params"],
+            variables["batch_stats"])
+        assert not report["leftover"], report
+
+        with torch.no_grad():
+            t_out = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+        f_out = fmodel.apply(
+            {"params": params, "batch_stats": batch_stats}, x, False)
+
+        assert len(t_out) == len(f_out) == 5
+        for i, (t, f) in enumerate(zip(t_out, f_out)):
+            t_np = t.numpy().transpose(0, 2, 3, 1)
+            # fp32 accumulation-order differences grow with activation
+            # scale through 50 layers; bound the scale-normalized error
+            scale = max(1.0, float(np.abs(t_np).max()))
+            max_diff = float(np.abs(t_np - np.asarray(f)).max())
+            assert max_diff <= 1e-5 * scale, \
+                f"pyramid level {i}: {max_diff} vs scale {scale}"
+
+    def test_encoder_pretraining_into_full_model(self, tmp_path):
+        import jax
+
+        from empanada_tpu.models import create_model
+        from empanada_tpu.train.torch_weights import (
+            load_encoder_pretraining,
+        )
+
+        ref = _load_ref_resnet()
+        tmodel = ref.resnet18(in_channels=1)
+        ckpt = {"state_dict": {f"module.{k}": v
+                               for k, v in tmodel.state_dict().items()},
+                "norms": [0.5, 0.2]}
+        path = str(tmp_path / "cem.pth.tar")
+        torch.save(ckpt, path)
+
+        model = create_model("PanopticDeepLab", encoder="resnet18",
+                             num_classes=1)
+        x = np.zeros((1, 64, 64, 1), np.float32)
+        variables = model.init(
+            {"params": jax.random.key(0), "points": jax.random.key(1),
+             "dropout": jax.random.key(2)}, x, train=False)
+        # unfreeze the mutable dicts
+        variables = {k: dict(v) if hasattr(v, "items") else v
+                     for k, v in variables.items()}
+
+        new_vars, norms = load_encoder_pretraining(variables, path)
+        assert norms == {"mean": 0.5, "std": 0.2}
+        # encoder stem kernel actually replaced
+        got = np.asarray(
+            new_vars["params"]["encoder_mod"]["stem"]["kernel"])
+        want = tmodel.state_dict()["conv1.weight"].numpy() \
+            .transpose(2, 3, 1, 0)
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+        # model still runs
+        out = model.apply(new_vars, x, train=False)
+        assert out["sem_logits"].shape == (1, 64, 64, 1)
