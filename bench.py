@@ -1,10 +1,12 @@
-"""Headline benchmark: MitoNet orthoplane-style slice inference throughput.
+"""Headline benchmark: MitoNet stack-inference throughput (slices/sec).
 
-Measures end-to-end slices/sec/chip for the production 3D inference path
-(reference pdl_inference3d.py §3.2): per-slice model forward (MitoNet =
-PanopticBiFPNPR on regnety_6p4gf, bf16) + median filtering + full panoptic
-postprocess + on-device run extraction + threaded host RLE/matching —
-everything a real volume pass does except disk IO.
+End-to-end production 3D inference path (reference pdl_inference3d.py,
+SURVEY §3.2) on the fused blocked engine (inference/fused.py): batched
+MitoNet forward (PanopticBiFPNPR on regnety_6p4gf, bf16) + z-median +
+full panoptic postprocess + on-device run extraction — ONE device
+dispatch per 8 slices — with RLE conversion + Hungarian matching running
+on an overlapped host thread. Everything a real volume pass does except
+disk IO.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "slices/s", "vs_baseline": N}
@@ -28,15 +30,11 @@ H = W = 512
 
 
 def main():
-    import jax
-
     from empanada_tpu.inference import patterns
-    from empanada_tpu.inference.engines import (
-        JittedModel,
-        PanopticDeepLabRenderEngine3d,
-    )
+    from empanada_tpu.inference.fused import FusedStackEngine
     from empanada_tpu.models import create_model
-    from empanada_tpu.ops.rle_device import extract_runs
+
+    import jax
 
     rng = np.random.default_rng(0)
     # synthetic EM-like volume: blobs on noise
@@ -53,38 +51,31 @@ def main():
         {"params": jax.random.key(0), "points": jax.random.key(1),
          "dropout": jax.random.key(2)},
         np.zeros((1, H, W, 1), np.float32), train=False)
-    jm = JittedModel(model, variables)
+
+    class _DS:
+        def __len__(self):
+            return N_SLICES
+
+        def __getitem__(self, i):
+            return {"index": i, "image": vol[i], "size": (H, W)}
 
     label_divisor = 1000
-    engine = PanopticDeepLabRenderEngine3d(
-        jm, thing_list=[1], label_divisor=label_divisor,
-        median_kernel_size=3, padding_factor=128, coarse_boundaries=True,
-        max_centers=256)
-    fm = None
+    engine = FusedStackEngine(
+        model, variables, thing_list=[1], block_size=8,
+        label_divisor=label_divisor, median_kernel_size=3,
+        padding_factor=128, coarse_boundaries=True, max_centers=256)
 
-    def run_slice(i):
-        pan = engine(vol[i][None, :, :, None], (H, W))
-        if pan is not None and fm is not None:
-            fm.put((pan,) + extract_runs(pan, max_runs=8 * H))
-        return pan
+    def run_pass():
+        matchers = patterns.create_matchers([1], label_divisor, 0.25, 0.25)
+        fm = patterns.ForwardMatcher(matchers, [1], label_divisor, [1])
+        for z, pan, runs in engine.infer_stack(_DS()):
+            fm.put((pan,) + runs)
+        return fm.finish()
 
-    # warmup: compile model fwd + postprocess + extraction
-    for i in range(4):
-        pan = run_slice(i)
-        if pan is not None:
-            jax.block_until_ready(extract_runs(pan, max_runs=8 * H))
-    jax.block_until_ready(engine.queue.median_queue[-1]["sem"])
-    engine.queue.reset()
-
-    matchers = patterns.create_matchers([1], label_divisor, 0.25, 0.25)
-    fm = patterns.ForwardMatcher(matchers, [1], label_divisor, [1])
+    run_pass()  # warmup: compiles the block function
 
     t0 = time.perf_counter()
-    for i in range(N_SLICES):
-        run_slice(i)
-    for pan in engine.end():
-        fm.put((pan,) + extract_runs(pan, max_runs=8 * H))
-    rle_stack = fm.finish()  # joins the host matcher thread
+    rle_stack = run_pass()
     elapsed = time.perf_counter() - t0
 
     assert len(rle_stack) == N_SLICES, len(rle_stack)

@@ -67,33 +67,36 @@ def run_inference3d(
     pixel_vote_thr=2, cluster_iou_thr=0.75, min_size=500, min_span=4,
     downsample_f=1, one_view=False, fine_boundaries=False,
     padding_factor=128, max_centers=256, save_panoptic_dir=None,
-    progress=True,
+    progress=True, block_size=8, mesh=None,
 ):
     """Full 3D inference; returns {class_id: consensus InstanceTracker}.
 
-    ``model``: callable (image, render_steps, interpolate_ins) -> output
-    dict (a JittedModel from export.load_exported_model).
+    ``model``: a (module, variables) pair or a JittedModel from
+    export.load_exported_model (its .module/.params are used). The hot
+    path is the fused blocked engine (inference/fused.py): one device
+    dispatch per ``block_size`` slices, optionally sharded over ``mesh``.
     """
     from empanada_tpu.data import VolumeDataset
     from empanada_tpu.inference import patterns
-    from empanada_tpu.inference.engines import PanopticDeepLabRenderEngine3d
-    from empanada_tpu.ops.rle_device import extract_runs
+    from empanada_tpu.inference.fused import FusedStackEngine
+
+    if isinstance(model, tuple):
+        module, variables = model
+    else:  # JittedModel
+        module, variables = model.module, model.params
 
     shape = tuple(volume.shape)
     axes = {"xy": 0} if mode == "stack" else {"xy": 0, "xz": 1, "yz": 2}
-    # one-view lets single-stack instances through consensus via vote_thr 1
-    if mode == "orthoplane" and one_view:
-        pixel_vote_thr_count = pixel_vote_thr
-    else:
-        pixel_vote_thr_count = pixel_vote_thr
+    pixel_vote_thr_count = pixel_vote_thr
 
     trackers = patterns.create_axis_trackers(
         axes, labels, label_divisor, shape)
 
     for axis_name, axis in axes.items():
         t_axis = time.time()
-        engine = PanopticDeepLabRenderEngine3d(
-            model, thing_list,
+        engine = FusedStackEngine(
+            module, variables, thing_list,
+            block_size=block_size,
             label_divisor=label_divisor,
             median_kernel_size=qlen,
             nms_threshold=nms_thr,
@@ -103,6 +106,7 @@ def run_inference3d(
             coarse_boundaries=not fine_boundaries,
             max_centers=max_centers,
             stuff_area=0,
+            mesh=mesh,
         )
         matchers = patterns.create_matchers(
             thing_list, label_divisor, iou_thr, ioa_thr)
@@ -110,19 +114,11 @@ def run_inference3d(
                                      thing_list)
         dataset = VolumeDataset(volume, axis=axis, scale=downsample_f)
         n = len(dataset)
-        max_runs = 16 * max(shape)
 
         pan_stack = [] if save_panoptic_dir else None
-        for i in range(n):
-            ex = dataset[i]
-            pan = engine(ex["image"][..., None].astype(np.float32),
-                         ex["size"], upsampling=downsample_f)
-            if pan is not None:
-                fm.put((pan,) + extract_runs(pan, max_runs=max_runs))
-                if pan_stack is not None:
-                    pan_stack.append(np.asarray(pan))
-        for pan in engine.end(upsampling=downsample_f):
-            fm.put((pan,) + extract_runs(pan, max_runs=max_runs))
+        for z, pan, runs in engine.infer_stack(
+                dataset, upsampling=downsample_f):
+            fm.put((pan,) + runs)
             if pan_stack is not None:
                 pan_stack.append(np.asarray(pan))
 

@@ -1,0 +1,224 @@
+"""Fully-fused blocked stack inference: ONE device dispatch per B slices.
+
+The production fast path. The per-slice engine (engines.py) issues several
+device calls per slice (forward, median, cells, merge, extract); on real
+TPU deployments dispatch latency dominates at small slice cost, and the
+MXU is underutilized at batch 1. This engine restructures the whole
+per-slice pipeline (reference engines.py:327-394 semantics) as a single
+jitted block function over B slices:
+
+- model forward batched (B, H, W, 1) — MXU-efficient;
+- the z-median window crosses block boundaries via carried device state
+  (last ks-1 sem maps + last mid ctr/offset maps), donated each call;
+- emission semantics match the reference median queue exactly: slice z
+  emits the window median for mid <= z < n-mid and its raw (un-smoothed)
+  map at the stack edges (engines.py:68-90);
+- center NMS + pixel grouping + panoptic merge + run extraction are
+  vmapped over the block, so only (B, max_runs) int32 buffers leave the
+  device.
+
+Host code drives blocks and hands (pan, runs) to the matcher thread.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from empanada_tpu.inference.engines import logits_to_prob
+from empanada_tpu.ops.postprocess import (
+    find_instance_centers,
+    group_pixels,
+    harden_semantic,
+    merge_semantic_and_instance,
+)
+from empanada_tpu.ops.rle_device import extract_runs
+from empanada_tpu.ops.resize import factor_pad
+
+__all__ = ["FusedStackEngine"]
+
+
+class FusedStackEngine:
+    """Blocked, fused 3D stack inference engine.
+
+    ``infer_stack(dataset)`` yields (z, pan_seg, runs_tuple) in z order;
+    pan_seg is cropped to the slice size, runs_tuple feeds
+    patterns.ForwardMatcher directly.
+    """
+
+    def __init__(self, module, variables, thing_list, block_size=8,
+                 label_divisor=1000, stuff_area=64, void_label=0,
+                 nms_threshold=0.1, nms_kernel=7, confidence_thr=0.5,
+                 median_kernel_size=3, padding_factor=128,
+                 coarse_boundaries=True, max_centers=256,
+                 num_classes=None, max_runs=None, mesh=None):
+        assert median_kernel_size % 2 == 1
+        self.module = module
+        self.thing_list = list(thing_list)
+        self.block_size = block_size
+        self.label_divisor = label_divisor
+        self.stuff_area = stuff_area
+        self.void_label = void_label
+        self.nms_threshold = nms_threshold
+        self.nms_kernel = nms_kernel
+        self.confidence_thr = confidence_thr
+        self.ks = median_kernel_size
+        self.mid = (median_kernel_size - 1) // 2
+        self.padding_factor = padding_factor
+        self.coarse_boundaries = coarse_boundaries
+        self.max_centers = max_centers
+        self.max_runs = max_runs
+        self._num_classes = num_classes
+        self._block_fn = None
+
+        if mesh is not None:
+            from empanada_tpu.parallel.mesh import (
+                batch_sharding, replicated_sharding)
+
+            self.variables = jax.device_put(
+                variables, replicated_sharding(mesh))
+            self._image_sharding = batch_sharding(mesh)
+        else:
+            self.variables = variables
+            self._image_sharding = None
+
+    # -----------------------------------------------------------------
+
+    def _build(self, num_classes, render_steps, upsampling, max_runs,
+               crop):
+        module = self.module
+        B, ks, mid = self.block_size, self.ks, self.mid
+        step = 4 if self.coarse_boundaries else 1
+        scale = step * upsampling  # cells grid -> sem resolution
+        oh, ow = crop  # original slice shape; run extraction must use it
+        # (reference crops before any host work, engines.py:392)
+        table = np.zeros((num_classes,), bool)
+        for t in self.thing_list:
+            table[t] = True
+        thing_table = jnp.asarray(table)
+
+        def postprocess_one(sem_prob, ctr, off):
+            centers, valid = find_instance_centers(
+                ctr, self.nms_threshold, self.nms_kernel, self.max_centers)
+            ins = group_pixels(centers, valid, off, step=float(step))
+            ins = jnp.where(jnp.any(valid), ins, 0)
+            if scale > 1:
+                ins = jnp.repeat(jnp.repeat(ins, scale, axis=0),
+                                 scale, axis=1)
+            sem = harden_semantic(sem_prob, self.confidence_thr)
+            ins = jnp.where(thing_table[sem], ins, 0)
+            pan = merge_semantic_and_instance(
+                sem, ins, self.label_divisor, thing_table, self.stuff_area,
+                self.void_label, self.max_centers, num_classes)
+            pan = pan[:oh, :ow]
+            runs = extract_runs(pan, max_runs)
+            return pan, runs
+
+        def block_fn(variables, carry_sem, carry_ctr, carry_off,
+                     images, use_median):
+            out = module.apply(
+                variables, images, train=False, render_steps=render_steps,
+                interpolate_ins=not self.coarse_boundaries)
+            sem = logits_to_prob(out["sem_logits"])      # (B, H, W, C)
+            ctr = out["ctr_hmp"]                          # (B, h4, w4, 1)
+            off = out["offsets"]                          # (B, h4, w4, 2)
+
+            allsem = jnp.concatenate([carry_sem, sem], axis=0)
+            allctr = jnp.concatenate([carry_ctr, ctr], axis=0)
+            alloff = jnp.concatenate([carry_off, off], axis=0)
+
+            # window j = allsem[j : j+ks]; emitted slice z sits at j+mid
+            win = jnp.stack(
+                [jax.lax.dynamic_slice_in_dim(allsem, j, ks, 0)
+                 for j in range(B)], axis=0)              # (B, ks, H, W, C)
+            med = jnp.median(win, axis=1)
+            raw = jax.lax.dynamic_slice_in_dim(allsem, mid, B, 0)
+            emit_sem = jnp.where(use_median[:, None, None, None], med, raw)
+            emit_ctr = allctr[:B, ..., 0]
+            emit_off = alloff[:B]
+
+            pan, runs = jax.vmap(postprocess_one)(
+                emit_sem, emit_ctr, emit_off)
+
+            new_carry_sem = allsem[-(ks - 1):] if ks > 1 \
+                else allsem[:0]
+            new_carry_ctr = allctr[-mid:] if mid > 0 else allctr[:0]
+            new_carry_off = alloff[-mid:] if mid > 0 else alloff[:0]
+            return (new_carry_sem, new_carry_ctr, new_carry_off,
+                    pan, runs)
+
+        return jax.jit(block_fn, donate_argnums=(1, 2, 3))
+
+    # -----------------------------------------------------------------
+
+    def infer_stack(self, dataset, upsampling=1):
+        assert math.log2(upsampling).is_integer()
+        render_steps = int(2 + math.log2(upsampling))
+        B, ks, mid = self.block_size, self.ks, self.mid
+        n = len(dataset)
+
+        ex0 = dataset[0]
+        img0 = np.asarray(ex0["image"], np.float32)
+        ph = (-img0.shape[0]) % self.padding_factor + img0.shape[0]
+        pw = (-img0.shape[1]) % self.padding_factor + img0.shape[1]
+        H, W = ph * upsampling, pw * upsampling  # sem resolution
+        if self._num_classes is None:
+            self._num_classes = max(
+                (max(self.thing_list) + 1) if self.thing_list else 1, 2)
+        max_runs = self.max_runs or max(4096, 16 * H)
+
+        if self._block_fn is None:
+            self._block_fn = self._build(
+                self._num_classes, render_steps, upsampling, max_runs,
+                tuple(ex0["size"]))
+
+        # sem channel count: 1 for binary models, C for multiclass
+        n_sem_ch = getattr(self.module, "num_classes", 1)
+        # ctr/offsets live at 1/4 of the *padded input* resolution when
+        # coarse, else at full padded input resolution
+        h4 = ph // 4 if self.coarse_boundaries else ph
+        w4 = pw // 4 if self.coarse_boundaries else pw
+        carry_sem = jnp.zeros((ks - 1, H, W, n_sem_ch), jnp.float32)
+        carry_ctr = jnp.zeros((mid, h4, w4, 1), jnp.float32)
+        carry_off = jnp.zeros((mid, h4, w4, 2), jnp.float32)
+
+        sizes = {}
+        # emit z = block_start + j - mid; cover z in [0, n): block starts
+        # range over [0, n + mid) so the tail flushes
+        for block_start in range(0, n + mid, B):
+            images = []
+            use_median = []
+            for j in range(B):
+                src = block_start + j
+                if src < n:
+                    ex = dataset[src] if src != 0 else ex0
+                    img = np.asarray(ex["image"], np.float32)[..., None]
+                    sizes[src] = ex["size"]
+                else:
+                    img = np.zeros_like(img0)[..., None]
+                images.append(img)
+                z = block_start + j - mid
+                use_median.append(mid <= z < n - mid)
+            batch = np.stack(images)
+            batch, _ = factor_pad(batch, self.padding_factor)
+            if self._image_sharding is not None:
+                batch = jax.device_put(batch, self._image_sharding)
+            um = jnp.asarray(np.asarray(use_median))
+
+            (carry_sem, carry_ctr, carry_off, pan, runs) = self._block_fn(
+                self.variables, carry_sem, carry_ctr, carry_off,
+                jnp.asarray(batch), um)
+
+            for j in range(B):
+                z = block_start + j - mid
+                if 0 <= z < n:
+                    # pan is already cropped to the original slice shape
+                    # inside the block fn (so the device-extracted runs
+                    # ravel with the true width)
+                    yield z, pan[j], tuple(r[j] for r in runs)
+            if block_start + B - mid >= n:
+                break

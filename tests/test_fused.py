@@ -1,0 +1,90 @@
+"""FusedStackEngine parity: one-dispatch-per-block pipeline must emit the
+same z-ordered panoptic maps as the per-slice engine."""
+
+import jax
+import numpy as np
+import pytest
+
+from empanada_tpu.inference.engines import (
+    JittedModel,
+    PanopticDeepLabRenderEngine3d,
+)
+from empanada_tpu.inference.fused import FusedStackEngine
+from empanada_tpu.models import create_model
+
+
+@pytest.fixture(scope="module")
+def model_and_vol():
+    model = create_model("PanopticDeepLabPR", encoder="resnet18",
+                         num_classes=1, subdivision_num_points=64)
+    x = np.zeros((1, 32, 32, 1), np.float32)
+    variables = model.init(
+        {"params": jax.random.key(0), "points": jax.random.key(1),
+         "dropout": jax.random.key(2)}, x, train=False)
+
+    rng = np.random.default_rng(3)
+    D, H, W = 11, 32, 32
+    vol = rng.normal(0, 0.1, (D, H, W)).astype(np.float32)
+    zz, yy, xx = np.mgrid[:D, :H, :W]
+    vol[((zz - 5) ** 2 * 9 + (yy - 14) ** 2 + (xx - 18) ** 2) < 90] += 2
+    return model, variables, vol
+
+
+class _DS:
+    def __init__(self, vol):
+        self.vol = vol
+
+    def __len__(self):
+        return len(self.vol)
+
+    def __getitem__(self, i):
+        return {"index": i, "image": self.vol[i],
+                "size": self.vol[i].shape}
+
+
+@pytest.mark.parametrize("block_size", [4, 8])
+def test_fused_matches_per_slice(model_and_vol, block_size):
+    model, variables, vol = model_and_vol
+    D, H, W = vol.shape
+    kwargs = dict(thing_list=[1], label_divisor=100, stuff_area=0,
+                  median_kernel_size=3, padding_factor=16, max_centers=64)
+
+    fused = FusedStackEngine(model, variables, block_size=block_size,
+                             **kwargs)
+    got = {}
+    for z, pan, runs in fused.infer_stack(_DS(vol)):
+        got[z] = np.asarray(pan)
+        starts, ends, values, n_runs = runs
+        assert int(n_runs) <= len(np.asarray(starts))
+    assert sorted(got) == list(range(D))
+
+    ref = PanopticDeepLabRenderEngine3d(JittedModel(model, variables),
+                                        **kwargs)
+    want = []
+    for i in range(D):
+        pan = ref(vol[i][None, :, :, None], (H, W))
+        if pan is not None:
+            want.append(np.asarray(pan))
+    want.extend(np.asarray(p) for p in ref.end())
+    assert len(want) == D
+
+    for z in range(D):
+        assert got[z].shape == want[z].shape
+        agree = (got[z] == want[z]).mean()
+        assert agree > 0.995, (z, agree)
+
+
+def test_fused_runs_feed_matcher(model_and_vol):
+    from empanada_tpu.inference import patterns
+
+    model, variables, vol = model_and_vol
+    fused = FusedStackEngine(model, variables, block_size=4, thing_list=[1],
+                             label_divisor=100, stuff_area=0,
+                             median_kernel_size=3, padding_factor=16,
+                             max_centers=64)
+    matchers = patterns.create_matchers([1], 100, 0.25, 0.25)
+    fm = patterns.ForwardMatcher(matchers, [1], 100, [1])
+    for z, pan, runs in fused.infer_stack(_DS(vol)):
+        fm.put((pan,) + runs)
+    rle_stack = fm.finish()
+    assert len(rle_stack) == len(vol)
