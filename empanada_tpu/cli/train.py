@@ -37,8 +37,26 @@ def main(argv=None):
     config = load_config(args.config)
     assert config["MODEL"]["arch"], "config must name MODEL.arch"
 
+    logger = None
+    if config["TRAIN"].get("logging", True):
+        import jax
+
+        from empanada_tpu.utils.logging import ExperimentLogger
+
+        if jax.process_index() == 0:
+            logger = ExperimentLogger(
+                experiment=config["DATASET"].get("dataset_name", "Default"),
+                run_name=config["TRAIN"].get("run_name"))
+            logger.log_params({
+                **{f"MODEL.{k}": v for k, v in config["MODEL"].items()},
+                **{f"TRAIN.{k}": v for k, v in config["TRAIN"].items()
+                   if not isinstance(v, (list, dict))},
+            })
+
     trainer = Trainer(config)
-    trainer.fit(epochs=args.epochs)
+    trainer.fit(epochs=args.epochs, logger=logger)
+    if logger is not None:
+        logger.end()
 
 
 if __name__ == "__main__":

@@ -52,6 +52,8 @@ __all__ = [
     "PanopticDeepLabRenderEngine3d",
     "BCEngine",
     "BCEngine3d",
+    "ENGINES",
+    "create_engine",
 ]
 
 
@@ -400,3 +402,21 @@ class BCEngine3d(BCEngine):
         if median_out is None:
             return None
         return median_out["bc"][:, :h, :w]
+
+
+ENGINES = {
+    "PanopticDeepLabEngine": PanopticDeepLabEngine,
+    "PanopticDeepLabEngine3d": PanopticDeepLabEngine3d,
+    "PanopticDeepLabRenderEngine": PanopticDeepLabRenderEngine,
+    "PanopticDeepLabRenderEngine3d": PanopticDeepLabRenderEngine3d,
+    "BCEngine": BCEngine,
+    "BCEngine3d": BCEngine3d,
+}
+
+
+def create_engine(name, model, **kwargs):
+    """Registry lookup matching the reference's config-by-name engines
+    (reference scripts, EVAL.engine key)."""
+    if name not in ENGINES:
+        raise ValueError(f"unknown engine {name!r}; choices: {sorted(ENGINES)}")
+    return ENGINES[name](model, **kwargs)

@@ -256,9 +256,85 @@ class Trainer:
         self.state, aux = self._train_step(self.state, batch, rng)
         return aux
 
+    # --- validation -------------------------------------------------------
+
+    def validate(self, logger=None, epoch=None):
+        """Panoptic validation on EVAL.eval_dir (reference
+        train.py:577-677): run the configured engine on each eval image,
+        postprocess BOTH prediction and GT targets to panoptic maps, and
+        score the EVAL.metrics (IoU on logits, PQ/F1 on pan segs)."""
+        ecfg = self.config.get("EVAL") or {}
+        eval_dir = ecfg.get("eval_dir")
+        if not eval_dir:
+            return {}
+
+        from empanada_tpu.inference.engines import JittedModel, create_engine
+        from empanada_tpu.ops.postprocess import get_panoptic_segmentation
+
+        tcfg = self.config["TRAIN"]
+        dcfg = self.config["DATASET"]
+        augs = create_augmentations(
+            [{"aug": "FactorPad", "factor": 128}], norms=self.norms)
+        name = tcfg.get("dataset_class", "SingleClassInstanceDataset")
+        ds_params = dict(tcfg.get("dataset_params", {}))
+        ds_params.pop("weight_gamma", None)
+        if name == "PanopticDataset":
+            ds_params.setdefault("labels", dcfg["labels"])
+            ds_params.setdefault("thing_list", dcfg["thing_list"])
+            ds_params.setdefault("label_divisor",
+                                 tcfg.get("label_divisor", 1000))
+        dataset = create_dataset(name, eval_dir, transforms=augs,
+                                 weight_gamma=None, **ds_params)
+
+        variables = {"params": self.state.params}
+        if self.state.batch_stats:
+            variables["batch_stats"] = self.state.batch_stats
+        engine_params = dict(ecfg.get("engine_params", {}))
+        engine_params.setdefault("thing_list", dcfg["thing_list"])
+        engine = create_engine(
+            ecfg.get("engine", "PanopticDeepLabEngine"),
+            JittedModel(self.model, variables), **engine_params)
+
+        meters = _build_meters(ecfg.get("metrics", []),
+                               dcfg.get("class_names", {}))
+        thing_list = engine_params["thing_list"]
+        label_divisor = engine_params.get("label_divisor", 1000)
+
+        for i in range(len(dataset)):
+            ex = dataset[i]
+            out = engine.infer(ex["image"][None])
+            pred_pan = engine.postprocess(
+                out["sem"], out["ctr_hmp"], out["offsets"])
+            tgt_sem = np.asarray(ex["sem"], np.float32)
+            tgt_pan = get_panoptic_segmentation(
+                tgt_sem[..., None], ex["ctr_hmp"][..., 0],
+                ex["offsets"], thing_list,
+                label_divisor=label_divisor,
+                stuff_area=engine_params.get("stuff_area", 64),
+                void_label=engine_params.get("void_label", 0),
+                threshold=engine_params.get("nms_threshold", 0.1),
+                nms_kernel=engine_params.get("nms_kernel", 7),
+                max_centers=engine_params.get("max_centers", 256))
+            meters.evaluate(
+                {"sem_logits": out["sem_logits"],
+                 "pan_seg": np.asarray(pred_pan)},
+                {"sem": jnp.asarray(tgt_sem)[None],
+                 "pan_seg": np.asarray(tgt_pan)})
+
+        averages = {
+            f"{meters.class_names.get(l, l)}_{mname}": float(v)
+            for mname, metric in meters.metrics_dict.items()
+            for l, v in metric.average().items()
+        }
+        if logger is not None and averages:
+            logger.log_metrics(averages, step=epoch)
+        for k, v in averages.items():
+            print(f"eval {k}: {v:.4f}")
+        return averages
+
     # --- loop -----------------------------------------------------------
 
-    def fit(self, epochs=None, loader=None, log_fn=print):
+    def fit(self, epochs=None, loader=None, log_fn=print, logger=None):
         tcfg = self.config["TRAIN"]
         loader = loader or self.build_loader()
         steps_per_epoch = len(loader)
@@ -295,7 +371,16 @@ class Trainer:
             epoch_time = time.time() - t0
             log_fn(f"Epoch {epoch} done in {epoch_time:.1f}s "
                    f"(data wait {data_t:.1f}s)")
-            history.append({k: float(v) for k, v in aux.items()})
+            epoch_metrics = {k: float(v) for k, v in aux.items()}
+            history.append(epoch_metrics)
+            if logger is not None:
+                logger.log_metrics(epoch_metrics, step=epoch)
+
+            epochs_per_eval = self.config.get("EVAL", {}).get(
+                "epochs_per_eval", 0)
+            if jax.process_index() == 0 and epochs_per_eval \
+                    and (epoch + 1) % epochs_per_eval == 0:
+                self.validate(logger=logger, epoch=epoch)
 
             if jax.process_index() == 0 and (epoch + 1) % save_freq == 0:
                 self.save(f"{model_dir}/{tcfg.get('run_name', 'model')}"
