@@ -30,11 +30,18 @@ H = W = 512
 
 
 def main():
+    import jax
+
+    # persistent compilation cache: the fused block function is a large
+    # graph and this environment compiles through a network tunnel —
+    # caching makes warmup near-instant on reruns
+    jax.config.update("jax_compilation_cache_dir",
+                      "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from empanada_tpu.inference import patterns
     from empanada_tpu.inference.fused import FusedStackEngine
     from empanada_tpu.models import create_model
-
-    import jax
 
     rng = np.random.default_rng(0)
     # synthetic EM-like volume: blobs on noise

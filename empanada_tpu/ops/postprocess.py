@@ -104,6 +104,7 @@ def group_pixels(
     offsets: jax.Array,
     step: float = 1.0,
     chunk: int = 64,
+    use_pallas: bool | None = None,
 ):
     """Assign each pixel the id (1-based) of its nearest offset-shifted center.
 
@@ -113,9 +114,20 @@ def group_pixels(
         offsets: (H, W, 2) float (dy, dx) in *full-resolution* units.
         step: full-res pixels per offsets-grid cell (4 for the coarse path,
             reference engines.py:263).
+        use_pallas: route through the Pallas VMEM-streaming kernel
+            (ops/pallas_group.py). Default: auto (on TPU backends).
     Returns:
         instance_ids: (H, W) int32; 0 only if no valid centers.
     """
+    if use_pallas is None:
+        import os
+
+        use_pallas = (jax.default_backend() not in ("cpu",)
+                      and os.environ.get("EMPANADA_NO_PALLAS") != "1")
+    if use_pallas:
+        from empanada_tpu.ops.pallas_group import group_pixels_pallas
+
+        return group_pixels_pallas(centers, valid, offsets, step=step)
     h, w, _ = offsets.shape
     k = centers.shape[0]
     assert k % chunk == 0 or k < chunk, "max_centers must be divisible by chunk"
