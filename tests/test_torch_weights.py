@@ -11,6 +11,8 @@ import pytest
 torch = pytest.importorskip("torch")
 
 REF = "/root/reference/empanada/models/encoders/resnet.py"
+REF_REGNET = "/root/reference/empanada/models/encoders/regnet.py"
+REF_BLOCKS = "/root/reference/empanada/models/blocks.py"
 
 
 def _load_ref_resnet():
@@ -18,6 +20,23 @@ def _load_ref_resnet():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     return mod
+
+
+def _load_ref_regnet():
+    import types
+
+    for pkg in ("empanada", "empanada.models", "empanada.models.encoders"):
+        sys.modules.setdefault(pkg, types.ModuleType(pkg))
+
+    def load(name, path):
+        spec = importlib.util.spec_from_file_location(name, path)
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[name] = mod
+        spec.loader.exec_module(mod)
+        return mod
+
+    load("empanada.models.blocks", REF_BLOCKS)
+    return load("empanada.models.encoders.regnet", REF_REGNET)
 
 
 class TestTorchToFlax:
@@ -63,6 +82,43 @@ class TestTorchToFlax:
             max_diff = float(np.abs(t_np - np.asarray(f)).max())
             assert max_diff <= 1e-5 * scale, \
                 f"pyramid level {i}: {max_diff} vs scale {scale}"
+
+    def test_regnety_forward_parity(self):
+        """RegNetY-200MF (SE blocks) — the MitoNet backbone family —
+        converted from the reference's own torch module."""
+        import jax
+
+        from empanada_tpu.models.encoders import get_encoder
+        from empanada_tpu.train.torch_weights import (
+            convert_encoder_state_dict,
+        )
+
+        ref = _load_ref_regnet()
+        tmodel = ref.regnety_200mf().eval()
+        with torch.no_grad():
+            for m in tmodel.modules():
+                if isinstance(m, torch.nn.BatchNorm2d):
+                    m.running_mean.normal_(0, 0.1)
+                    m.running_var.uniform_(0.5, 1.5)
+
+        fmodel = get_encoder("regnety_200mf")
+        x = np.random.default_rng(0).normal(
+            0, 1, (1, 64, 64, 1)).astype(np.float32)
+        variables = fmodel.init(jax.random.key(0), x, False)
+        params, batch_stats, report = convert_encoder_state_dict(
+            tmodel.state_dict(), variables["params"],
+            variables["batch_stats"])
+        assert not report["leftover"], report
+
+        with torch.no_grad():
+            t_out = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+        f_out = fmodel.apply(
+            {"params": params, "batch_stats": batch_stats}, x, False)
+        for i, (t, f) in enumerate(zip(t_out, f_out)):
+            t_np = t.numpy().transpose(0, 2, 3, 1)
+            scale = max(1.0, float(np.abs(t_np).max()))
+            max_diff = float(np.abs(t_np - np.asarray(f)).max())
+            assert max_diff <= 1e-5 * scale, (i, max_diff, scale)
 
     def test_encoder_pretraining_into_full_model(self, tmp_path):
         import jax
