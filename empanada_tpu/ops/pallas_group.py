@@ -37,8 +37,11 @@ def _kernel(table_ref, offy_ref, offx_ref, out_ref, *, tile_h, width,
     i = pl.program_id(0)
     row0 = (i * tile_h) * step
 
-    rows = jax.lax.broadcasted_iota(jnp.float32, (tile_h, width), 0) * step
-    cols = jax.lax.broadcasted_iota(jnp.float32, (tile_h, width), 1) * step
+    # int32 iota then cast: Mosaic TPU doesn't lower float iota
+    rows = jax.lax.broadcasted_iota(
+        jnp.int32, (tile_h, width), 0).astype(jnp.float32) * step
+    cols = jax.lax.broadcasted_iota(
+        jnp.int32, (tile_h, width), 1).astype(jnp.float32) * step
     loc_y = rows + row0 + offy_ref[:]
     loc_x = cols + offx_ref[:]
 

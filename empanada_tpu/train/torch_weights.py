@@ -67,6 +67,39 @@ def _classify_torch(sd):
     return convs, conv_biases, bn_scales, bn_biases, bn_means, bn_vars
 
 
+def _registration_order(flat_keys):
+    """Reorder flax paths to the reference's torch *registration* order.
+
+    flax traces parameters in __call__ usage order, torch registers them
+    in __init__ order. They agree everywhere except the PDL decoder,
+    which registers aspp, then ALL project convs, then ALL fuse convs
+    (reference decoders/panoptic_deeplab.py) while the flax trace
+    interleaves project_i/fuse_i. Stable-sort with a group rank on those
+    segment names to reconcile."""
+    rank = {"aspp": 0, "project": 1, "fuse": 2}
+
+    # first-appearance index of every child name under every parent
+    child_order = {}
+    for path in flat_keys:
+        for depth in range(len(path)):
+            parent = path[:depth]
+            child_order.setdefault(parent, {})
+            if path[depth] not in child_order[parent]:
+                child_order[parent][path[depth]] = \
+                    len(child_order[parent])
+
+    def seg_key(parent, seg):
+        base, _, suffix = seg.rpartition("_")
+        if base in rank and suffix.isdigit():
+            return (1, rank[base], int(suffix))
+        return (0, child_order[parent][seg], 0)
+
+    return sorted(
+        flat_keys,
+        key=lambda path: tuple(
+            seg_key(path[:d], path[d]) for d in range(len(path))))
+
+
 def convert_encoder_state_dict(sd, params, batch_stats):
     """Map torch encoder weights onto flax (params, batch_stats) trees.
 
@@ -76,8 +109,11 @@ def convert_encoder_state_dict(sd, params, batch_stats):
     convs, conv_biases, bn_scales, bn_biases, bn_means, bn_vars = \
         _classify_torch(sd)
 
-    flat_p = traverse_util.flatten_dict(params)
-    flat_s = traverse_util.flatten_dict(batch_stats) if batch_stats else {}
+    flat_p_raw = traverse_util.flatten_dict(params)
+    flat_p = {k: flat_p_raw[k] for k in _registration_order(flat_p_raw)}
+    flat_s_raw = traverse_util.flatten_dict(batch_stats) \
+        if batch_stats else {}
+    flat_s = {k: flat_s_raw[k] for k in _registration_order(flat_s_raw)}
 
     queues = {
         "kernel": list(convs),
