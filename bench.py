@@ -30,14 +30,9 @@ H = W = 512
 
 
 def main():
-    import jax
+    from empanada_tpu.utils.cache import enable_compilation_cache
 
-    # persistent compilation cache: the fused block function is a large
-    # graph and this environment compiles through a network tunnel —
-    # caching makes warmup near-instant on reruns
-    jax.config.update("jax_compilation_cache_dir",
-                      "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    enable_compilation_cache()
 
     from empanada_tpu.inference import patterns
     from empanada_tpu.inference.fused import FusedStackEngine

@@ -165,6 +165,10 @@ def main(argv=None):
     assert math.log2(args.downsample_f).is_integer(), \
         "downsample factor must be a power of 2"
 
+    from empanada_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from empanada_tpu.data.zarr_store import create_zarr, read_volume
     from empanada_tpu.export import load_exported_model
     from empanada_tpu.inference import patterns

@@ -30,7 +30,9 @@ def main(argv=None):
     from empanada_tpu.config import load_config
     from empanada_tpu.parallel.mesh import initialize_distributed
     from empanada_tpu.train import Trainer
+    from empanada_tpu.utils.cache import enable_compilation_cache
 
+    enable_compilation_cache()
     initialize_distributed(args.coordinator, args.num_processes,
                            args.process_id)
 
