@@ -30,6 +30,8 @@ H = W = 512
 
 
 def main():
+    import jax
+
     from empanada_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
