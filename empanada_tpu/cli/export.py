@@ -21,6 +21,10 @@ def parse_args(argv=None):
                         help="Padding factor baked into the descriptor")
     parser.add_argument("--stablehlo", action="store_true",
                         help="Also serialize a StableHLO artifact")
+    parser.add_argument("--quantize", action="store_true",
+                        help="Also write a weight-only int8 artifact "
+                             "(CPU-deployment analog of the reference's "
+                             "fbgemm INT8 export)")
     return parser.parse_args(argv)
 
 
@@ -62,6 +66,7 @@ def main(argv=None):
         class_names=config["DATASET"].get("class_names"),
         finetune_params=finetune_params,
         stablehlo=args.stablehlo,
+        quantize=args.quantize,
     )
     print(f"Exported {name} -> {args.save_dir} "
           f"({', '.join(k for k in desc if k.startswith('model'))})")

@@ -26,7 +26,49 @@ from flax import serialization
 from empanada_tpu.models import create_model
 
 __all__ = ["export_model", "load_exported_model", "save_params",
-           "load_params"]
+           "load_params", "quantize_variables_int8",
+           "dequantize_variables_int8"]
+
+
+def quantize_variables_int8(variables):
+    """Weight-only int8 PTQ: large conv/dense kernels -> int8 with
+    per-output-channel symmetric scales (the deployment analog of the
+    reference's fbgemm INT8 export, export_model.py:137-163 — on TPU
+    inference runs bf16, so int8 here is an artifact-size/CPU-deploy
+    format, dequantized on load)."""
+    from flax import traverse_util
+
+    flat = traverse_util.flatten_dict(variables)
+    out = {}
+    for key, leaf in flat.items():
+        leaf = np.asarray(leaf)
+        if key[-1] == "kernel" and leaf.ndim >= 2 and leaf.size > 4096:
+            axes = tuple(range(leaf.ndim - 1))
+            scale = np.abs(leaf).max(axis=axes, keepdims=True) / 127.0
+            scale = np.maximum(scale, 1e-12)
+            q = np.clip(np.round(leaf / scale), -127, 127).astype(np.int8)
+            out[key + ("__int8__",)] = q
+            out[key + ("__scale__",)] = scale.astype(np.float32)
+        else:
+            out[key] = leaf
+    return traverse_util.unflatten_dict(out)
+
+
+def dequantize_variables_int8(tree):
+    """Inverse of quantize_variables_int8 -> float variables dict."""
+    from flax import traverse_util
+
+    flat = traverse_util.flatten_dict(tree)
+    out = {}
+    for key, leaf in flat.items():
+        if key[-1] == "__int8__":
+            scale = flat[key[:-1] + ("__scale__",)]
+            out[key[:-1]] = np.asarray(leaf, np.float32) * np.asarray(scale)
+        elif key[-1] == "__scale__":
+            continue
+        else:
+            out[key] = leaf
+    return traverse_util.unflatten_dict(out)
 
 
 def save_params(path, variables):
@@ -46,8 +88,10 @@ def load_params(path, target=None):
 def export_model(variables, model_config, save_dir, name,
                  norms=None, padding_factor=128, thing_list=(1,),
                  labels=(1,), class_names=None, finetune_params=None,
-                 stablehlo=False, input_shape=(1, 512, 512, 1)):
-    """Write <name>.params.msgpack + <name>.yaml (+ <name>.stablehlo).
+                 stablehlo=False, quantize=False,
+                 input_shape=(1, 512, 512, 1)):
+    """Write <name>.params.msgpack + <name>.yaml (+ <name>.stablehlo,
+    + <name>.int8.msgpack when quantize=True).
 
     Returns the descriptor dict (also written to YAML)."""
     os.makedirs(save_dir, exist_ok=True)
@@ -65,6 +109,11 @@ def export_model(variables, model_config, save_dir, name,
         "class_names": dict(class_names or {l: str(l) for l in labels}),
         "FINETUNE": finetune_params or {},
     }
+
+    if quantize:
+        q_path = os.path.join(save_dir, f"{name}.int8.msgpack")
+        save_params(q_path, quantize_variables_int8(variables))
+        desc["model_quantized"] = q_path
 
     if stablehlo:
         hlo_path = os.path.join(save_dir, f"{name}.stablehlo")
@@ -94,10 +143,11 @@ def _export_stablehlo(variables, model_config, input_shape, out_path):
         f.write(exported.serialize())
 
 
-def load_exported_model(descriptor_path):
+def load_exported_model(descriptor_path, quantized=False):
     """Descriptor YAML -> (JittedModel, descriptor dict). The analog of
     torch.jit.load on the reference's exported model
-    (reference pdl_inference3d.py:69-74)."""
+    (reference pdl_inference3d.py:69-74). quantized=True loads the int8
+    artifact (dequantized to fp32 on load)."""
     from empanada_tpu.inference.engines import JittedModel
 
     with open(descriptor_path) as f:
@@ -107,9 +157,12 @@ def load_exported_model(descriptor_path):
     arch = cfg.pop("arch")
     model = create_model(arch, **cfg)
 
-    params_path = desc["model"]
+    key = "model_quantized" if quantized else "model"
+    params_path = desc[key]
     if not os.path.isabs(params_path):
         params_path = os.path.join(os.path.dirname(descriptor_path),
                                    os.path.basename(params_path))
     variables = load_params(params_path)
+    if quantized:
+        variables = dequantize_variables_int8(variables)
     return JittedModel(model, variables), desc
