@@ -16,3 +16,17 @@ A ground-up JAX/XLA/Pallas rebuild of the capabilities of volume-em/empanada
 """
 
 __version__ = "0.1.0"
+
+_SUBMODULES = (
+    "core", "models", "ops", "inference", "parallel", "train", "data",
+    "evaluation", "cli", "utils", "config", "losses", "metrics", "export",
+)
+
+
+def __getattr__(name):
+    """Lazy submodule access: `import empanada_tpu as et; et.models...`"""
+    if name in _SUBMODULES:
+        import importlib
+
+        return importlib.import_module(f"empanada_tpu.{name}")
+    raise AttributeError(f"module 'empanada_tpu' has no attribute {name!r}")
