@@ -306,8 +306,16 @@ class Trainer:
             pred_pan = engine.postprocess(
                 out["sem"], out["ctr_hmp"], out["offsets"])
             tgt_sem = np.asarray(ex["sem"], np.float32)
+            n_classes = int(self.config["MODEL"].get("num_classes", 1))
+            if n_classes > 1:
+                # multiclass GT: one-hot probabilities
+                tgt_prob = np.stack(
+                    [(tgt_sem == c).astype(np.float32)
+                     for c in range(n_classes)], axis=-1)
+            else:
+                tgt_prob = tgt_sem[..., None]
             tgt_pan = get_panoptic_segmentation(
-                tgt_sem[..., None], ex["ctr_hmp"][..., 0],
+                tgt_prob, ex["ctr_hmp"][..., 0],
                 ex["offsets"], thing_list,
                 label_divisor=label_divisor,
                 stuff_area=engine_params.get("stuff_area", 64),
