@@ -19,10 +19,13 @@ as an explicit constant so the ratio is transparent and stable across
 rounds.
 """
 
+import contextlib
 import json
 import time
 
 import numpy as np
+
+_nullcontext = contextlib.nullcontext
 
 REFERENCE_GPU_SLICES_PER_SEC = 10.0  # estimated V100-class baseline, 512^2
 N_SLICES = 64
@@ -51,10 +54,17 @@ def main():
     model = create_model(
         "PanopticBiFPNPR", encoder="regnety_6p4gf", num_classes=1,
         dtype="bfloat16")
-    variables = model.init(
-        {"params": jax.random.key(0), "points": jax.random.key(1),
-         "dropout": jax.random.key(2)},
-        np.zeros((1, H, W, 1), np.float32), train=False)
+    # init on host CPU: avoids remote-compiling the (huge) init graph on
+    # the TPU; params transfer to device on first use
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu = None
+    with jax.default_device(cpu) if cpu else _nullcontext():
+        variables = model.init(
+            {"params": jax.random.key(0), "points": jax.random.key(1),
+             "dropout": jax.random.key(2)},
+            np.zeros((1, 128, 128, 1), np.float32), train=False)
 
     class _DS:
         def __len__(self):

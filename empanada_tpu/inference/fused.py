@@ -186,10 +186,14 @@ class FusedStackEngine:
         carry_ctr = jnp.zeros((mid, h4, w4, 1), jnp.float32)
         carry_off = jnp.zeros((mid, h4, w4, 2), jnp.float32)
 
-        sizes = {}
         # emit z = block_start + j - mid; cover z in [0, n): block starts
         # range over [0, n + mid) so the tail flushes
-        for block_start in range(0, n + mid, B):
+        block_starts = list(range(0, n + mid, B))
+
+        def load_block(block_start):
+            """Read + pad one block of slices (runs on a prefetch
+            thread, overlapping volume IO with device compute — the
+            reference's DataLoader-worker role)."""
             images = []
             use_median = []
             for j in range(B):
@@ -197,17 +201,29 @@ class FusedStackEngine:
                 if src < n:
                     ex = dataset[src] if src != 0 else ex0
                     img = np.asarray(ex["image"], np.float32)[..., None]
-                    sizes[src] = ex["size"]
                 else:
+                    ex = None
                     img = np.zeros_like(img0)[..., None]
                 images.append(img)
                 z = block_start + j - mid
                 use_median.append(mid <= z < n - mid)
             batch = np.stack(images)
             batch, _ = factor_pad(batch, self.padding_factor)
+            return np.asarray(batch), np.asarray(use_median)
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=1)
+        next_fut = pool.submit(load_block, block_starts[0])
+
+        for bi, block_start in enumerate(block_starts):
+            batch, use_median = next_fut.result()
+            if bi + 1 < len(block_starts) \
+                    and block_start + B - mid < n:
+                next_fut = pool.submit(load_block, block_starts[bi + 1])
             if self._image_sharding is not None:
                 batch = jax.device_put(batch, self._image_sharding)
-            um = jnp.asarray(np.asarray(use_median))
+            um = jnp.asarray(use_median)
 
             (carry_sem, carry_ctr, carry_off, pan, runs) = self._block_fn(
                 self.variables, carry_sem, carry_ctr, carry_off,
@@ -222,3 +238,4 @@ class FusedStackEngine:
                     yield z, pan[j], tuple(r[j] for r in runs)
             if block_start + B - mid >= n:
                 break
+        pool.shutdown(wait=False)
