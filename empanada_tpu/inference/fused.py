@@ -73,7 +73,7 @@ class FusedStackEngine:
         self.max_centers = max_centers
         self.max_runs = max_runs
         self._num_classes = num_classes
-        self._block_fn = None
+        self._block_fns = {}  # keyed by (render_steps, upsampling, crop)
 
         if mesh is not None:
             from empanada_tpu.parallel.mesh import (
@@ -171,10 +171,12 @@ class FusedStackEngine:
                 (max(self.thing_list) + 1) if self.thing_list else 1, 2)
         max_runs = self.max_runs or max(4096, 16 * H)
 
-        if self._block_fn is None:
-            self._block_fn = self._build(
+        fn_key = (render_steps, upsampling, tuple(ex0["size"]), max_runs)
+        if fn_key not in self._block_fns:
+            self._block_fns[fn_key] = self._build(
                 self._num_classes, render_steps, upsampling, max_runs,
                 tuple(ex0["size"]))
+        self._block_fn = self._block_fns[fn_key]
 
         # sem channel count: 1 for binary models, C for multiclass
         n_sem_ch = getattr(self.module, "num_classes", 1)
