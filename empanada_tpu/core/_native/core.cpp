@@ -157,6 +157,91 @@ int64_t etpu_runs_ccl(const int64_t* starts, const int64_t* ends,
 }
 
 // ---------------------------------------------------------------------------
+// 3D connected components over row-split runs of a (d, h, w) volume viewed
+// as (d*h, w). Row r = z*h + y. Neighbor rows: (z, y+1), (z+1, y) and, for
+// 26-connectivity, (z+1, y±1), with ±1 column tolerance on 26.
+// ---------------------------------------------------------------------------
+static void uf_union_rows(std::vector<int64_t>& parent, const int64_t* starts,
+                          const int64_t* ends, const int64_t* values,
+                          int64_t width, int64_t i0, int64_t i1, int64_t j0,
+                          int64_t j1, int64_t tol) {
+  int64_t p = i0;
+  for (int64_t q = j0; q < j1; ++q) {
+    int64_t qs = starts[q] % width;
+    int64_t qe = (ends[q] - 1) % width + 1;
+    while (p < i1 && ((ends[p] - 1) % width + 1) + tol <= qs) p++;
+    for (int64_t pp = p; pp < i1; ++pp) {
+      int64_t ps = starts[pp] % width;
+      if (ps >= qe + tol) break;
+      if (values[pp] == values[q]) {
+        int64_t rp = uf_find(parent, pp), rq = uf_find(parent, q);
+        if (rp != rq) parent[std::max(rp, rq)] = std::min(rp, rq);
+      }
+    }
+  }
+}
+
+int64_t etpu_runs_ccl3d(const int64_t* starts, const int64_t* ends,
+                        const int64_t* values, int64_t n, int64_t d,
+                        int64_t h, int64_t w, int32_t connectivity,
+                        int32_t* labels_out) {
+  if (n <= 0) return 0;
+  std::vector<int64_t> parent(n);
+  for (int64_t i = 0; i < n; ++i) parent[i] = i;
+
+  const int64_t n_rows = d * h;
+  // row span index (rows are sorted because starts are raster-sorted)
+  std::vector<int64_t> row_lo(n_rows + 1, -1);
+  std::vector<int64_t> row_hi(n_rows, -1);
+  for (int64_t i = 0; i < n;) {
+    int64_t r = starts[i] / w;
+    int64_t j = i;
+    while (j < n && starts[j] / w == r) j++;
+    row_lo[r] = i;
+    row_hi[r] = j;
+    i = j;
+  }
+
+  // neighbor row offsets (dz, dy, tol)
+  int64_t neigh[4][3];
+  int n_neigh;
+  if (connectivity == 26) {
+    int64_t tmp[4][3] = {{0, 1, 1}, {1, 0, 1}, {1, -1, 1}, {1, 1, 1}};
+    n_neigh = 4;
+    for (int k = 0; k < 4; ++k)
+      for (int c = 0; c < 3; ++c) neigh[k][c] = tmp[k][c];
+  } else {
+    int64_t tmp[4][3] = {{0, 1, 0}, {1, 0, 0}, {0, 0, 0}, {0, 0, 0}};
+    n_neigh = 2;
+    for (int k = 0; k < 4; ++k)
+      for (int c = 0; c < 3; ++c) neigh[k][c] = tmp[k][c];
+  }
+
+  for (int64_t r = 0; r < n_rows; ++r) {
+    if (row_lo[r] < 0) continue;
+    int64_t z = r / h, y = r % h;
+    for (int k = 0; k < n_neigh; ++k) {
+      int64_t z2 = z + neigh[k][0];
+      int64_t y2 = y + neigh[k][1];
+      if (z2 < 0 || z2 >= d || y2 < 0 || y2 >= h) continue;
+      int64_t r2 = z2 * h + y2;
+      if (row_lo[r2] < 0) continue;
+      uf_union_rows(parent, starts, ends, values, w, row_lo[r], row_hi[r],
+                    row_lo[r2], row_hi[r2], neigh[k][2]);
+    }
+  }
+
+  std::vector<int32_t> root_label(n, 0);
+  int32_t next_label = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t r = uf_find(parent, i);
+    if (root_label[r] == 0) root_label[r] = ++next_label;
+    labels_out[i] = root_label[r];
+  }
+  return next_label;
+}
+
+// ---------------------------------------------------------------------------
 // Fill a raveled int32 buffer with `value` over the given runs.
 // ---------------------------------------------------------------------------
 void etpu_fill_runs_i32(int32_t* buf, int64_t buf_len, const int64_t* starts,

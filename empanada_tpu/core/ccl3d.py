@@ -61,6 +61,8 @@ def connected_components_3d(vol, connectivity=26):
 
     connectivity: 26 (full) or 6 (faces only), cc3d semantics.
     """
+    from empanada_tpu.core import native
+
     vol = np.asarray(vol)
     d, h, w = vol.shape
     # runs of the (d*h, w) row-major view; rows never cross
@@ -71,6 +73,15 @@ def connected_components_3d(vol, connectivity=26):
     n = len(starts)
     if n == 0:
         return np.zeros((d, h, w), np.uint32)
+
+    fast = native.runs_ccl3d(starts, ends, values, d, h, w, connectivity)
+    if fast is not None:
+        labels = fast[0].astype(np.int64)
+        out = np.zeros(d * h * w, np.uint32)
+        lens = ends - starts
+        idx = np.repeat(starts, lens) + _within_run_offsets(lens)
+        out[idx] = np.repeat(labels, lens)
+        return out.reshape(d, h, w)
 
     rows = (starts // w).astype(np.int64)  # global row id = z*h + y
     # span index: for each global row, [lo, hi) into the run arrays

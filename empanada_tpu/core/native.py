@@ -46,8 +46,11 @@ def get_lib():
         _tried = True
         if os.environ.get("EMPANADA_TPU_NO_NATIVE"):
             return None
-        if not os.path.exists(_LIB_PATH):
-            src = os.path.join(_NATIVE_DIR, "core.cpp")
+        src = os.path.join(_NATIVE_DIR, "core.cpp")
+        stale = (not os.path.exists(_LIB_PATH)
+                 or (os.path.exists(src)
+                     and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)))
+        if stale:
             if not os.path.exists(src) or not _build():
                 return None
         try:
@@ -68,6 +71,13 @@ def get_lib():
 
         lib.etpu_runs_ccl.restype = i64
         lib.etpu_runs_ccl.argtypes = [p64, p64, p64, i64, i64, i32, p32]
+
+        try:
+            lib.etpu_runs_ccl3d.restype = i64
+            lib.etpu_runs_ccl3d.argtypes = [p64, p64, p64, i64, i64, i64,
+                                            i64, i32, p32]
+        except AttributeError:
+            pass  # stale .so without the 3D symbol; callers fall back
 
         lib.etpu_fill_runs_i32.restype = None
         lib.etpu_fill_runs_i32.argtypes = [p32, i64, p64, p64, i64, i32]
@@ -121,6 +131,20 @@ def runs_ccl(starts, ends, values, width: int, connectivity: int = 8):
     labels = np.zeros(len(starts), dtype=np.int32)
     n = lib.etpu_runs_ccl(starts, ends, values, len(starts), width,
                           connectivity, labels)
+    return labels, int(n)
+
+
+def runs_ccl3d(starts, ends, values, d, h, w, connectivity=26):
+    """3D run CCL; returns (labels int32 per-run, n_components) or None."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "etpu_runs_ccl3d"):
+        return None
+    starts = _c64(starts)
+    ends = _c64(ends)
+    values = _c64(values)
+    labels = np.zeros(len(starts), dtype=np.int32)
+    n = lib.etpu_runs_ccl3d(starts, ends, values, len(starts), d, h, w,
+                            connectivity, labels)
     return labels, int(n)
 
 
