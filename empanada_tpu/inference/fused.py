@@ -36,7 +36,7 @@ from empanada_tpu.ops.postprocess import (
     harden_semantic,
     merge_semantic_and_instance,
 )
-from empanada_tpu.ops.rle_device import extract_runs
+from empanada_tpu.ops.rle_device import extract_fg_runs
 from empanada_tpu.ops.resize import factor_pad
 
 __all__ = ["FusedStackEngine"]
@@ -115,7 +115,7 @@ class FusedStackEngine:
                 sem, ins, self.label_divisor, thing_table, self.stuff_area,
                 self.void_label, self.max_centers, num_classes)
             pan = pan[:oh, :ow]
-            runs = extract_runs(pan, max_runs)
+            runs = extract_fg_runs(pan, max_runs)
             return pan, runs
 
         def block_fn(variables, carry_sem, carry_ctr, carry_off,

@@ -106,10 +106,14 @@ class ForwardMatcher:
     def _to_rle_seg(self, item):
         if isinstance(item, tuple) and len(item) == 5:
             pan, starts, ends, values, n_runs = item
-            if int(n_runs) <= len(np.asarray(starts)):
+            n = int(n_runs)  # 4-byte D2H
+            if n <= starts.shape[0]:
                 shape = tuple(pan.shape[-2:])
+                # transfer only the used prefix: D2H bandwidth is the
+                # pipeline bottleneck on tunneled/remote devices
                 return runs_to_rle_seg(
-                    np.asarray(starts), np.asarray(ends), np.asarray(values),
+                    np.asarray(starts[:n]), np.asarray(ends[:n]),
+                    np.asarray(values[:n]),
                     shape, self.labels, self.label_divisor, self.thing_list)
             item = pan  # run budget overflow: fall back to the dense map
         pan_seg = np.asarray(item).squeeze()

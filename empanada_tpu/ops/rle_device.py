@@ -13,7 +13,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["extract_runs", "runs_capacity"]
+__all__ = ["extract_runs", "extract_fg_runs", "runs_capacity"]
 
 
 def runs_capacity(h: int, w: int, max_runs: int | None = None) -> int:
@@ -53,6 +53,49 @@ def extract_runs(pan: jax.Array, max_runs: int):
     ends = jnp.minimum(ends, n)
     valid = starts < n
     values = flat[jnp.minimum(starts, n - 1)].astype(jnp.int32)
+
+    starts = jnp.where(valid, starts, -1)
+    ends = jnp.where(valid, ends, -1)
+    values = jnp.where(valid, values, 0)
+    return starts, ends, values, n_runs
+
+
+def extract_fg_runs(pan: jax.Array, max_runs: int):
+    """Row-split runs of NONZERO values only.
+
+    The D2H payload shrinks by the background fraction (typically 5-20x
+    for EM content); background extents are implicit. Callers transfer
+    only the first n_runs entries of each buffer.
+
+    Returns (starts, ends, values, n_runs) like extract_runs, but only
+    foreground runs are present (padded with -1/0).
+    """
+    h, w = pan.shape
+    flat = pan.reshape(-1)
+    n = h * w
+
+    idx = jnp.arange(n, dtype=jnp.int32)
+    prev = jnp.concatenate([jnp.full((1,), -1, flat.dtype), flat[:-1]])
+    col0 = (idx % w) == 0
+    is_start = (flat != prev) | col0
+    is_fg_start = is_start & (flat != 0)
+
+    n_runs = jnp.sum(is_fg_start.astype(jnp.int32))
+
+    # end of the run starting at p = the next run start strictly after p
+    # (suffix-min of start indices, shifted by one), else n
+    start_idx = jnp.where(is_start, idx, n)
+    # next_start[p] = min start index at position > p
+    suffix_min = jax.lax.cummin(start_idx[::-1])[::-1]
+    next_start = jnp.concatenate(
+        [suffix_min[1:], jnp.full((1,), n, jnp.int32)])
+
+    starts = jnp.nonzero(is_fg_start, size=max_runs, fill_value=n)[0]
+    starts = starts.astype(jnp.int32)
+    valid = starts < n
+    safe = jnp.minimum(starts, n - 1)
+    ends = jnp.minimum(next_start[safe], n)
+    values = flat[safe].astype(jnp.int32)
 
     starts = jnp.where(valid, starts, -1)
     ends = jnp.where(valid, ends, -1)
