@@ -82,8 +82,8 @@ def main():
     def run_pass():
         matchers = patterns.create_matchers([1], label_divisor, 0.25, 0.25)
         fm = patterns.ForwardMatcher(matchers, [1], label_divisor, [1])
-        for z, pan, runs in engine.infer_stack(_DS()):
-            fm.put((pan,) + runs)
+        for z_indices, pan_block, packed in engine.infer_blocks(_DS()):
+            fm.put_block(z_indices, pan_block, packed)
         return fm.finish()
 
     run_pass()  # warmup: compiles the block function

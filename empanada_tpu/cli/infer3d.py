@@ -116,11 +116,13 @@ def run_inference3d(
         n = len(dataset)
 
         pan_stack = [] if save_panoptic_dir else None
-        for z, pan, runs in engine.infer_stack(
+        for z_indices, pan_block, packed in engine.infer_blocks(
                 dataset, upsampling=downsample_f):
-            fm.put((pan,) + runs)
+            fm.put_block(z_indices, pan_block, packed)
             if pan_stack is not None:
-                pan_stack.append(np.asarray(pan))
+                block = np.asarray(pan_block)
+                pan_stack.extend(block[j] for j, z in enumerate(z_indices)
+                                 if z is not None)
 
         rle_stack = fm.finish()
         assert len(rle_stack) == n, (len(rle_stack), n)

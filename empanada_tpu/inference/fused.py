@@ -45,9 +45,10 @@ __all__ = ["FusedStackEngine"]
 class FusedStackEngine:
     """Blocked, fused 3D stack inference engine.
 
-    ``infer_stack(dataset)`` yields (z, pan_seg, runs_tuple) in z order;
-    pan_seg is cropped to the slice size, runs_tuple feeds
-    patterns.ForwardMatcher directly.
+    ``infer_blocks(dataset)`` yields (z_indices, pan_block, packed) per
+    block — packed is the single int32 run buffer the ForwardMatcher
+    consumes with ONE device-to-host transfer per block.
+    ``infer_stack(dataset)`` is the per-slice generator view.
     """
 
     def __init__(self, module, variables, thing_list, block_size=8,
@@ -115,8 +116,16 @@ class FusedStackEngine:
                 sem, ins, self.label_divisor, thing_table, self.stuff_area,
                 self.void_label, self.max_centers, num_classes)
             pan = pan[:oh, :ow]
-            runs = extract_fg_runs(pan, max_runs)
-            return pan, runs
+            starts, ends, values, n_runs = extract_fg_runs(pan, max_runs)
+            # pack runs + count into ONE int32 buffer: D2H on this
+            # environment costs ~100ms *per operation* regardless of
+            # size, so the whole block must cross in a single transfer
+            header = jnp.stack(
+                [n_runs, jnp.int32(0), jnp.int32(0)])[None]
+            packed = jnp.concatenate(
+                [header, jnp.stack([starts, ends, values], axis=-1)],
+                axis=0)  # (1 + max_runs, 3)
+            return pan, packed
 
         def block_fn(variables, carry_sem, carry_ctr, carry_off,
                      images, use_median):
@@ -141,7 +150,7 @@ class FusedStackEngine:
             emit_ctr = allctr[:B, ..., 0]
             emit_off = alloff[:B]
 
-            pan, runs = jax.vmap(postprocess_one)(
+            pan, packed = jax.vmap(postprocess_one)(
                 emit_sem, emit_ctr, emit_off)
 
             new_carry_sem = allsem[-(ks - 1):] if ks > 1 \
@@ -149,13 +158,28 @@ class FusedStackEngine:
             new_carry_ctr = allctr[-mid:] if mid > 0 else allctr[:0]
             new_carry_off = alloff[-mid:] if mid > 0 else alloff[:0]
             return (new_carry_sem, new_carry_ctr, new_carry_off,
-                    pan, runs)
+                    pan, packed)
 
         return jax.jit(block_fn, donate_argnums=(1, 2, 3))
 
     # -----------------------------------------------------------------
 
     def infer_stack(self, dataset, upsampling=1):
+        """Per-slice view: yields (z, pan_slice, (starts, ends, values,
+        n_runs)) — convenience for tests/small volumes; prefer
+        infer_blocks + ForwardMatcher.put_block on real devices."""
+        for z_indices, pan, packed in self.infer_blocks(dataset, upsampling):
+            arr = np.asarray(packed)
+            for j, z in enumerate(z_indices):
+                if z is None:
+                    continue
+                n_runs = arr[j, 0, 0]
+                starts = arr[j, 1:, 0]
+                ends = arr[j, 1:, 1]
+                values = arr[j, 1:, 2]
+                yield z, pan[j], (starts, ends, values, n_runs)
+
+    def infer_blocks(self, dataset, upsampling=1):
         assert math.log2(upsampling).is_integer()
         render_steps = int(2 + math.log2(upsampling))
         B, ks, mid = self.block_size, self.ks, self.mid
@@ -227,17 +251,22 @@ class FusedStackEngine:
                 batch = jax.device_put(batch, self._image_sharding)
             um = jnp.asarray(use_median)
 
-            (carry_sem, carry_ctr, carry_off, pan, runs) = self._block_fn(
+            (carry_sem, carry_ctr, carry_off, pan, packed) = self._block_fn(
                 self.variables, carry_sem, carry_ctr, carry_off,
                 jnp.asarray(batch), um)
 
-            for j in range(B):
-                z = block_start + j - mid
-                if 0 <= z < n:
-                    # pan is already cropped to the original slice shape
-                    # inside the block fn (so the device-extracted runs
-                    # ravel with the true width)
-                    yield z, pan[j], tuple(r[j] for r in runs)
+            # map block rows -> z indices (None = padding rows); the full
+            # (B, ...) arrays are yielded unsliced so the consumer's D2H
+            # is one whole-array transfer (no extra slice ops)
+            z_indices = [
+                block_start + j - mid
+                if 0 <= block_start + j - mid < n else None
+                for j in range(B)
+            ]
+            # pan is already cropped to the original slice shape inside
+            # the block fn (so the device-extracted runs ravel with the
+            # true width)
+            yield z_indices, pan, packed
             if block_start + B - mid >= n:
                 break
         pool.shutdown(wait=False)

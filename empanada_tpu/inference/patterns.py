@@ -120,12 +120,36 @@ class ForwardMatcher:
         return pan_seg_to_rle_seg(
             pan_seg, self.labels, self.label_divisor, self.thing_list)
 
+    def _decode_block(self, z_indices, pan_block, packed):
+        arr = np.asarray(packed)  # ONE D2H for the whole block
+        shape = tuple(pan_block.shape[-2:])
+        max_runs = arr.shape[1] - 1
+        for j, z in enumerate(z_indices):
+            if z is None:
+                continue
+            n = int(arr[j, 0, 0])
+            if n <= max_runs:
+                rle_seg = runs_to_rle_seg(
+                    arr[j, 1:n + 1, 0], arr[j, 1:n + 1, 1],
+                    arr[j, 1:n + 1, 2], shape, self.labels,
+                    self.label_divisor, self.thing_list)
+            else:  # run budget overflow: pull the dense map
+                rle_seg = pan_seg_to_rle_seg(
+                    np.asarray(pan_block[j]), self.labels,
+                    self.label_divisor, self.thing_list)
+            rle_seg = apply_matchers(rle_seg, self.matchers)
+            self.rle_stack.append(rle_seg)
+
     def _run(self):
         while True:
             item = self._queue.get()
             if item is None:
                 break
             try:
+                if isinstance(item, tuple) and len(item) == 4 \
+                        and item[0] == "block":
+                    self._decode_block(item[1], item[2], item[3])
+                    continue
                 rle_seg = self._to_rle_seg(item)
                 rle_seg = apply_matchers(rle_seg, self.matchers)
                 self.rle_stack.append(rle_seg)
@@ -137,6 +161,13 @@ class ForwardMatcher:
         if pan_seg is None:
             return
         self._queue.put(pan_seg)
+
+    def put_block(self, z_indices, pan_block, packed):
+        """Enqueue a whole fused-engine block: `packed` is the
+        (B, 1+max_runs, 3) int32 run buffer; the worker moves it
+        device->host with ONE transfer (per-op D2H latency dominates on
+        tunneled devices) and decodes each slice's runs from it."""
+        self._queue.put(("block", z_indices, pan_block, packed))
 
     def finish(self):
         self._queue.put(None)

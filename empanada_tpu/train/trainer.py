@@ -19,6 +19,7 @@ matter:
 
 from __future__ import annotations
 
+import os
 import time
 from functools import partial
 
@@ -299,12 +300,20 @@ class Trainer:
                                dcfg.get("class_names", {}))
         thing_list = engine_params["thing_list"]
         label_divisor = engine_params.get("label_divisor", 1000)
+        track_indices = set(ecfg.get("eval_track_indices") or [])
+        track_freq = ecfg.get("eval_track_freq", 1)
+        snapshot = (logger is not None and track_indices
+                    and epoch is not None
+                    and (epoch + 1) % max(track_freq, 1) == 0)
 
         for i in range(len(dataset)):
             ex = dataset[i]
             out = engine.infer(ex["image"][None])
             pred_pan = engine.postprocess(
                 out["sem"], out["ctr_hmp"], out["offsets"])
+            if snapshot and i in track_indices:
+                _save_eval_snapshot(logger, epoch, i, ex["image"],
+                                    np.asarray(pred_pan))
             tgt_sem = np.asarray(ex["sem"], np.float32)
             n_classes = int(self.config["MODEL"].get("num_classes", 1))
             if n_classes > 1:
@@ -407,6 +416,23 @@ class Trainer:
                 "model_config": self.config.get("MODEL", {}),
             })
         print(f"=> saved checkpoint {path}")
+
+
+def _save_eval_snapshot(logger, epoch, index, image, pan_seg):
+    """Side-by-side image/seg PNG logged as a run artifact
+    (reference train.py:654-671 mlflow figures)."""
+    import cv2
+
+    img = np.asarray(image)[..., 0] if np.asarray(image).ndim == 3 \
+        else np.asarray(image)
+    img = ((img - img.min()) / max(float(np.ptp(img)), 1e-6) * 255).astype(np.uint8)
+    seg = (pan_seg % 251).astype(np.uint8) * 83 % 255
+    panel = np.concatenate([img, seg.astype(np.uint8)], axis=1)
+    path = os.path.join(logger.artifact_path("snapshots"),
+                        f"eval_e{epoch}_i{index}.png")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    cv2.imwrite(path, panel)
+    logger.log_artifact(path)
 
 
 def _infer_crop(augmentations):
