@@ -31,6 +31,7 @@ MIN_OVERLAP = 100
 MIN_IOU = 1e-2
 
 __all__ = [
+    "merge_instances",
     "merge_objects_from_trackers",
     "merge_semantic_from_trackers",
     "merge_objects_from_tiles",
@@ -225,6 +226,9 @@ def _merge_instances(instances_dict):
             starts, runs = merge_rles(starts, runs,
                                       attrs["starts"], attrs["runs"])
     return dict(box=box, starts=starts, runs=runs)
+
+
+merge_instances = _merge_instances  # public alias (reference consensus.py:305)
 
 
 def _merge_overlapping(cluster_instances):
