@@ -222,3 +222,31 @@ class TestZarrStore:
         for s, r in zip(starts, runs):
             ref[s:s + r] = 9
         np.testing.assert_array_equal(np.asarray(z).ravel(), ref)
+
+    def test_chunked_fill_fuzz_chunk_shapes(self, tmp_path, rng):
+        """Random instances filled through 20 random chunk shapes must
+        reconstruct the dense volume exactly (the reference's zarr fill
+        fuzzing, tests/test_tracking.py:58-72)."""
+        shape = (12, 17, 23)
+        n_vox = int(np.prod(shape))
+        # random instance RLEs from a random label volume
+        labelvol = rng.integers(0, 4, n_vox)
+        instances = {}
+        for lab in (1, 2, 3):
+            coords = np.nonzero(labelvol == lab)[0]
+            if len(coords) == 0:
+                continue
+            diffs = np.diff(coords)
+            breaks = np.nonzero(diffs > 1)[0]
+            starts = np.concatenate([[coords[0]], coords[breaks + 1]])
+            ends = np.concatenate([coords[breaks], [coords[-1]]]) + 1
+            instances[lab] = {"starts": starts, "runs": ends - starts}
+        dense = labelvol.reshape(shape).astype(np.uint32)
+
+        for trial in range(20):
+            chunks = tuple(int(rng.integers(1, s + 1)) for s in shape)
+            z = create_zarr(str(tmp_path / f"fz{trial}.zarr"), shape,
+                            chunks=chunks, dtype=np.uint32)
+            chunked_fill_instances(z, instances, processes=2)
+            np.testing.assert_array_equal(
+                np.asarray(z), dense, err_msg=f"chunks={chunks}")
