@@ -193,7 +193,9 @@ class FusedStackEngine:
         if self._num_classes is None:
             self._num_classes = max(
                 (max(self.thing_list) + 1) if self.thing_list else 1, 2)
-        max_runs = self.max_runs or max(4096, 16 * H)
+        # D2H is bandwidth-cheap for the single packed block transfer, so
+        # budget generously: overflow (dense fallback) is the expensive case
+        max_runs = self.max_runs or max(8192, 32 * H)
 
         fn_key = (render_steps, upsampling, tuple(ex0["size"]), max_runs)
         if fn_key not in self._block_fns:
