@@ -175,6 +175,39 @@ def group_pixels(
     return best_id.reshape(h, w)
 
 
+def _vote_count_table(ins_f, sem_f, mask, n_ins, n_classes,
+                      chunk=16384):
+    """counts[k, c] = #pixels with ins==k, sem==c, mask — computed as
+    one-hot matmuls over pixel chunks (TPU scatter-add with colliding
+    indices lowers to a serial loop; this runs on the MXU instead)."""
+    p = ins_f.shape[0]
+    pad = (-p) % chunk
+    if pad:
+        ins_f = jnp.concatenate([ins_f, jnp.zeros((pad,), ins_f.dtype)])
+        sem_f = jnp.concatenate([sem_f, jnp.zeros((pad,), sem_f.dtype)])
+        mask = jnp.concatenate([mask, jnp.zeros((pad,), bool)])
+    n_chunks = ins_f.shape[0] // chunk
+    ins_c = ins_f.reshape(n_chunks, chunk)
+    sem_c = sem_f.reshape(n_chunks, chunk)
+    mask_c = mask.reshape(n_chunks, chunk)
+
+    k_ids = jnp.arange(n_ins, dtype=ins_f.dtype)
+    c_ids = jnp.arange(n_classes, dtype=sem_f.dtype)
+
+    def body(acc, inp):
+        ins_i, sem_i, m_i = inp
+        oh_ins = (ins_i[:, None] == k_ids[None, :]).astype(jnp.float32)
+        oh_ins = oh_ins * m_i[:, None].astype(jnp.float32)
+        oh_sem = (sem_i[:, None] == c_ids[None, :]).astype(jnp.float32)
+        acc = acc + jnp.dot(oh_ins.T, oh_sem,
+                            preferred_element_type=jnp.float32)
+        return acc, None
+
+    init = jnp.zeros((n_ins, n_classes), jnp.float32)
+    counts, _ = jax.lax.scan(body, init, (ins_c, sem_c, mask_c))
+    return counts.astype(jnp.int32)
+
+
 def merge_semantic_and_instance(
     sem: jax.Array,
     ins: jax.Array,
@@ -202,10 +235,13 @@ def merge_semantic_and_instance(
     thing_seg = ins_f > 0
 
     # --- instance majority class vote ---------------------------------
+    # counts[k, c] = #pixels with (ins==k, sem==c, vote_mask). A
+    # scatter-add here serializes on TPU (colliding indices), so the
+    # table is built as chunked one-hot matmuls on the MXU instead.
     vote_mask = thing_seg & is_thing_px
-    counts = jnp.zeros((max_centers + 1, num_classes), jnp.int32)
-    counts = counts.at[jnp.where(vote_mask, ins_f, 0),
-                       sem_f].add(vote_mask.astype(jnp.int32))
+    counts = _vote_count_table(
+        jnp.where(vote_mask, ins_f, 0), sem_f, vote_mask,
+        max_centers + 1, num_classes)
     counts = counts.at[0].set(0)  # drop the dump row
     inst_area = counts.sum(axis=1)                 # (K+1,)
     inst_class = jnp.argmax(counts, axis=1).astype(jnp.int32)
@@ -221,10 +257,12 @@ def merge_semantic_and_instance(
 
     pan_thing_val = inst_class * label_divisor + new_id        # (K+1,)
 
-    # --- stuff areas ----------------------------------------------------
+    # --- stuff areas (num_classes is small: direct per-class sums) -----
     stuff_mask_px = ~thing_seg
-    class_area = jnp.zeros((num_classes,), jnp.int32)
-    class_area = class_area.at[sem_f].add(stuff_mask_px.astype(jnp.int32))
+    class_area = jnp.stack([
+        jnp.sum((sem_f == c) & stuff_mask_px, dtype=jnp.int32)
+        for c in range(num_classes)
+    ])
     stuff_keep = (~thing_mask_table) & (class_area >= stuff_area)
 
     # --- paint ----------------------------------------------------------
