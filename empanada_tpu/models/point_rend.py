@@ -154,7 +154,10 @@ class PointRendSemSegHead(nn.Module):
 
             n, h, w, c = logits.shape
             flat = logits.reshape(n, h * w, c)
-            flat = jax.vmap(lambda f, i, v: f.at[i].set(v))(
+            # top_k indices are unique: lets XLA emit a parallel scatter
+            # (an unannotated scatter serializes on TPU)
+            flat = jax.vmap(
+                lambda f, i, v: f.at[i].set(v, unique_indices=True))(
                 flat, idx, point_logits.astype(flat.dtype))
             logits = flat.reshape(n, h, w, c)
 
