@@ -44,10 +44,10 @@ def extract_runs(pan: jax.Array, max_runs: int):
 
     n_runs = jnp.sum(is_start.astype(jnp.int32))
 
-    # compact the boundary indices into a fixed-size buffer.
-    # jnp.nonzero with static size pads with fill_value.
-    starts = jnp.nonzero(is_start, size=max_runs, fill_value=n)[0]
-    starts = starts.astype(jnp.int32)
+    # compact the boundary indices into a fixed-size buffer via sort
+    # (jnp.nonzero's size-static lowering scatters -> serial on TPU)
+    idx32 = jnp.arange(n, dtype=jnp.int32)
+    starts = jax.lax.sort(jnp.where(is_start, idx32, n))[:max_runs]
     # end of run i = start of run i+1 (or n for the last)
     ends = jnp.concatenate([starts[1:], jnp.full((1,), n, jnp.int32)])
     ends = jnp.minimum(ends, n)
@@ -90,8 +90,10 @@ def extract_fg_runs(pan: jax.Array, max_runs: int):
     next_start = jnp.concatenate(
         [suffix_min[1:], jnp.full((1,), n, jnp.int32)])
 
-    starts = jnp.nonzero(is_fg_start, size=max_runs, fill_value=n)[0]
-    starts = starts.astype(jnp.int32)
+    # compact fg start indices by SORT, not jnp.nonzero: nonzero's
+    # size-static lowering scatters (serial on TPU); sort is fast
+    fg_idx = jnp.where(is_fg_start, idx, n)
+    starts = jax.lax.sort(fg_idx)[:max_runs]
     valid = starts < n
     safe = jnp.minimum(starts, n - 1)
     ends = jnp.minimum(next_start[safe], n)
