@@ -153,8 +153,11 @@ def _merge_with_cells(sem_prob, instance_cells, thing_table, *,
 
 @jax.jit
 def _median_stack(window):
-    """(K, H, W, C) -> (H, W, C) elementwise median over the window axis."""
-    return jnp.median(window, axis=0)
+    """(K, H, W, C) -> (H, W, C) elementwise median over the window axis
+    (sorting network — jnp.median's sort is pathologically slow on TPU)."""
+    from empanada_tpu.ops.postprocess import median_small
+
+    return median_small(window, axis=0)
 
 
 class _MedianQueue:

@@ -34,6 +34,7 @@ from empanada_tpu.ops.postprocess import (
     find_instance_centers,
     group_pixels,
     harden_semantic,
+    median_small,
     merge_semantic_and_instance,
 )
 from empanada_tpu.ops.rle_device import extract_fg_runs
@@ -144,7 +145,7 @@ class FusedStackEngine:
             win = jnp.stack(
                 [jax.lax.dynamic_slice_in_dim(allsem, j, ks, 0)
                  for j in range(B)], axis=0)              # (B, ks, H, W, C)
-            med = jnp.median(win, axis=1)
+            med = median_small(win, axis=1)
             raw = jax.lax.dynamic_slice_in_dim(allsem, mid, B, 0)
             emit_sem = jnp.where(use_median[:, None, None, None], med, raw)
             emit_ctr = allctr[:B, ..., 0]

@@ -35,9 +35,26 @@ __all__ = [
     "harden_semantic",
     "find_instance_centers",
     "group_pixels",
+    "median_small",
     "merge_semantic_and_instance",
     "get_panoptic_segmentation",
 ]
+
+
+def median_small(window, axis=0):
+    """Elementwise median over a SMALL window axis via a pairwise
+    sorting network (k^2/2 min/max VPU ops). jnp.median sorts with a
+    transpose on TPU and costs ~500 ms at stack scale; this is ~1 ms
+    for the qlen<=11 windows the engines use."""
+    k = window.shape[axis]
+    arrs = [jax.lax.index_in_dim(window, i, axis, keepdims=False)
+            for i in range(k)]
+    for i in range(k):
+        for j in range(k - 1 - i):
+            lo = jnp.minimum(arrs[j], arrs[j + 1])
+            hi = jnp.maximum(arrs[j], arrs[j + 1])
+            arrs[j], arrs[j + 1] = lo, hi
+    return arrs[k // 2]
 
 
 def logits_to_prob(logits: jax.Array) -> jax.Array:
@@ -175,37 +192,20 @@ def group_pixels(
     return best_id.reshape(h, w)
 
 
-def _vote_count_table(ins_f, sem_f, mask, n_ins, n_classes,
-                      chunk=16384):
-    """counts[k, c] = #pixels with ins==k, sem==c, mask — computed as
-    one-hot matmuls over pixel chunks (TPU scatter-add with colliding
-    indices lowers to a serial loop; this runs on the MXU instead)."""
-    p = ins_f.shape[0]
-    pad = (-p) % chunk
-    if pad:
-        ins_f = jnp.concatenate([ins_f, jnp.zeros((pad,), ins_f.dtype)])
-        sem_f = jnp.concatenate([sem_f, jnp.zeros((pad,), sem_f.dtype)])
-        mask = jnp.concatenate([mask, jnp.zeros((pad,), bool)])
-    n_chunks = ins_f.shape[0] // chunk
-    ins_c = ins_f.reshape(n_chunks, chunk)
-    sem_c = sem_f.reshape(n_chunks, chunk)
-    mask_c = mask.reshape(n_chunks, chunk)
+def _vote_count_table(ins_f, sem_f, mask, n_ins, n_classes):
+    """counts[k, c] = #pixels with ins==k, sem==c, mask.
 
-    k_ids = jnp.arange(n_ins, dtype=ins_f.dtype)
-    c_ids = jnp.arange(n_classes, dtype=sem_f.dtype)
-
-    def body(acc, inp):
-        ins_i, sem_i, m_i = inp
-        oh_ins = (ins_i[:, None] == k_ids[None, :]).astype(jnp.float32)
-        oh_ins = oh_ins * m_i[:, None].astype(jnp.float32)
-        oh_sem = (sem_i[:, None] == c_ids[None, :]).astype(jnp.float32)
-        acc = acc + jnp.dot(oh_ins.T, oh_sem,
-                            preferred_element_type=jnp.float32)
-        return acc, None
-
-    init = jnp.zeros((n_ins, n_classes), jnp.float32)
-    counts, _ = jax.lax.scan(body, init, (ins_c, sem_c, mask_c))
-    return counts.astype(jnp.int32)
+    TPU-friendly histogram: scatter-add serializes on TPU, so sort the
+    combined (ins, sem) bin ids and take bin boundaries with
+    searchsorted — one O(P log P) device sort + 515 binary searches."""
+    n_bins = n_ins * n_classes
+    combined = ins_f.astype(jnp.int32) * n_classes + sem_f.astype(jnp.int32)
+    combined = jnp.where(mask, combined, n_bins)  # masked -> overflow bin
+    sorted_ids = jax.lax.sort(combined)
+    edges = jnp.searchsorted(sorted_ids,
+                             jnp.arange(n_bins + 1, dtype=jnp.int32))
+    counts = (edges[1:] - edges[:-1]).astype(jnp.int32)
+    return counts.reshape(n_ins, n_classes)
 
 
 def merge_semantic_and_instance(
