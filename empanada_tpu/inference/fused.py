@@ -85,7 +85,12 @@ class FusedStackEngine:
                 variables, replicated_sharding(mesh))
             self._image_sharding = batch_sharding(mesh)
         else:
-            self.variables = variables
+            # pin params to the compute device ONCE: host-committed
+            # variables would re-transfer every leaf on every block call
+            # (~700 H2D ops per block)
+            device = jax.devices()[0]
+            self.variables = jax.device_put(variables, device)
+            jax.block_until_ready(self.variables)
             self._image_sharding = None
 
     # -----------------------------------------------------------------
