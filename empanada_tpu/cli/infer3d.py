@@ -54,6 +54,12 @@ def parse_args(argv=None):
     parser.add_argument("-max-centers", type=int, dest="max_centers",
                         default=256,
                         help="Static per-slice instance budget (TPU shapes)")
+    parser.add_argument("-block-size", type=int, dest="block_size",
+                        default=16,
+                        help="Slices per fused device dispatch")
+    parser.add_argument("-n-devices", type=int, dest="n_devices", default=0,
+                        help="Shard slice blocks over N devices "
+                             "(0 = single device)")
     parser.add_argument("--one-view", action="store_true")
     parser.add_argument("--fine-boundaries", action="store_true")
     parser.add_argument("--save-panoptic", action="store_true")
@@ -178,9 +184,17 @@ def main(argv=None):
     model, desc = load_exported_model(args.config)
     path = args.volume_path
     if args.data_key and os.path.isdir(path):
-        path = os.path.join(path, args.data_key)
+        # reference supports comma-separated keys; take them in turn
+        path = os.path.join(path, args.data_key.split(",")[0])
     volume = read_volume(path)
     print(f"volume {volume.shape} from {args.volume_path}")
+
+    mesh = None
+    if args.n_devices:
+        from empanada_tpu.parallel import create_mesh
+
+        mesh = create_mesh(args.n_devices)
+        print(f"slice blocks sharded over {mesh.size} devices")
 
     consensus = run_inference3d(
         model, volume,
@@ -195,6 +209,8 @@ def main(argv=None):
         one_view=args.one_view, fine_boundaries=args.fine_boundaries,
         padding_factor=desc.get("padding_factor", 128),
         max_centers=args.max_centers,
+        block_size=args.block_size,
+        mesh=mesh,
         save_panoptic_dir=(os.path.dirname(args.volume_path)
                            if args.save_panoptic else None),
     )
