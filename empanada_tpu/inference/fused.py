@@ -77,6 +77,7 @@ class FusedStackEngine:
         self._num_classes = num_classes
         self._block_fns = {}  # keyed by (render_steps, upsampling, crop)
 
+        self._mesh = mesh
         if mesh is not None:
             from empanada_tpu.parallel.mesh import (
                 batch_sharding, replicated_sharding)
@@ -166,6 +167,20 @@ class FusedStackEngine:
             return (new_carry_sem, new_carry_ctr, new_carry_off,
                     pan, packed)
 
+        if self._mesh is not None:
+            # explicit shardings: carries/params replicated, the slice
+            # batch sharded — avoids SPMD's involuntary rematerialization
+            # on the carry concat (carry length ks-1 doesn't divide the
+            # mesh)
+            from empanada_tpu.parallel.mesh import (
+                batch_sharding, replicated_sharding)
+
+            rep = replicated_sharding(self._mesh)
+            bsh = batch_sharding(self._mesh)
+            return jax.jit(
+                block_fn, donate_argnums=(1, 2, 3),
+                in_shardings=(rep, rep, rep, rep, bsh, rep),
+                out_shardings=(rep, rep, rep, bsh, bsh))
         return jax.jit(block_fn, donate_argnums=(1, 2, 3))
 
     # -----------------------------------------------------------------
