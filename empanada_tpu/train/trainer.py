@@ -234,6 +234,18 @@ class Trainer:
                     rngs={"points": r_points, "dropout": r_dropout},
                     mutable=["batch_stats"] if state.batch_stats else [])
                 total, aux = criterion(out, batch)
+                # train-time semantic IoU on device (the reference
+                # evaluates IoU on train batches, train.py:500-560)
+                if "sem" in batch:
+                    logits = out["sem_logits"]
+                    if logits.shape[-1] > 1:
+                        pred = jnp.argmax(logits, -1) > 0
+                    else:
+                        pred = logits[..., 0] > 0
+                    tgt = batch["sem"] > 0
+                    inter = jnp.sum(pred & tgt)
+                    union = jnp.sum(pred) + jnp.sum(tgt) - inter
+                    aux["sem_iou"] = (inter + 1e-5) / (union + 1e-5)
                 return total, (aux, mutated, out)
 
             (total, (aux, mutated, out)), grads = jax.value_and_grad(
