@@ -210,6 +210,7 @@ class Trainer:
         if tcfg.get("resume"):
             self.state, meta = restore_state(tcfg["resume"], self.state)
             self.start_epoch = int(meta.get("epoch", 0))
+            self.resume_run_id = meta.get("run_id")  # re-attach logging
             print(f"=> resumed from {tcfg['resume']} at epoch "
                   f"{self.start_epoch}")
         else:
@@ -413,10 +414,11 @@ class Trainer:
 
             if jax.process_index() == 0 and (epoch + 1) % save_freq == 0:
                 self.save(f"{model_dir}/{tcfg.get('run_name', 'model')}"
-                          f"_checkpoint.msgpack", epoch + 1)
+                          f"_checkpoint.msgpack", epoch + 1,
+                          run_id=getattr(logger, "run_id", None))
         return history
 
-    def save(self, path, epoch):
+    def save(self, path, epoch, run_id=None):
         from flax import serialization
 
         save_checkpoint(
@@ -426,6 +428,7 @@ class Trainer:
                 "arch": self.arch,
                 "norms": self.norms,
                 "model_config": self.config.get("MODEL", {}),
+                "run_id": run_id or getattr(self, "resume_run_id", None),
             })
         print(f"=> saved checkpoint {path}")
 
