@@ -162,6 +162,13 @@ def run_inference3d(
             consensus[class_id] = patterns.create_instance_consensus(
                 class_trackers, pixel_vote_thr_count, cluster_iou_thr,
                 bypass=one_view)
+            # the reference re-filters the consensus tracker too
+            # (pdl_inference3d.py:218-219): voted intersections can fall
+            # below the size/span thresholds even when every axis passed
+            patterns.apply_filters(consensus[class_id], [
+                {"name": "remove_small_objects", "min_size": min_size},
+                {"name": "remove_pancakes", "min_span": min_span},
+            ])
         else:
             consensus[class_id] = patterns.create_semantic_consensus(
                 class_trackers, pixel_vote_thr_count)
@@ -184,8 +191,15 @@ def main(argv=None):
     model, desc = load_exported_model(args.config)
     path = args.volume_path
     if args.data_key and os.path.isdir(path):
-        # reference supports comma-separated keys; take them in turn
-        path = os.path.join(path, args.data_key.split(",")[0])
+        # reference supports comma-separated keys: use the first that
+        # resolves to an array in the group
+        for key in args.data_key.split(","):
+            candidate = os.path.join(path, key.strip())
+            if os.path.exists(os.path.join(candidate, ".zarray")):
+                path = candidate
+                break
+        else:
+            path = os.path.join(path, args.data_key.split(",")[0])
     volume = read_volume(path)
     print(f"volume {volume.shape} from {args.volume_path}")
 

@@ -76,11 +76,14 @@ def split_ranges_on_chunks(starts, runs, shape, chunks):
     seg_starts = np.maximum(base_s, row_base + cxs * cw)
     seg_ends = np.minimum(base_e, row_base + (cxs + 1) * cw)
 
-    # 3) group by chunk tuple
+    # 3) group by chunk tuple (multipliers from the actual chunk grid —
+    # fixed-base packing overflows on very large chunk grids)
     z = seg_starts // (h * w)
     y = (seg_starts // w) % h
     x = seg_starts % w
-    key = (z // cd) * 1000000 + (y // ch) * 1000 + (x // cw)
+    ny = -(-h // ch)
+    nx = -(-w // cw)
+    key = ((z // cd) * ny + (y // ch)) * nx + (x // cw)
     order = np.argsort(key, kind="stable")
     seg_starts = seg_starts[order]
     seg_ends = seg_ends[order]
@@ -92,7 +95,7 @@ def split_ranges_on_chunks(starts, runs, shape, chunks):
     for bi in range(len(bounds) - 1):
         i0, i1 = bounds[bi], bounds[bi + 1]
         k = int(key[i0])
-        chunk_idx = (k // 1000000, (k // 1000) % 1000, k % 1000)
+        chunk_idx = (k // (ny * nx), (k // nx) % ny, k % nx)
         out[chunk_idx] = (seg_starts[i0:i1], seg_ends[i0:i1] - seg_starts[i0:i1])
     return out
 

@@ -213,6 +213,7 @@ class FusedStackEngine:
         H, W = ph * upsampling, pw * upsampling  # sem resolution
         if self._num_classes is None:
             self._num_classes = max(
+                int(getattr(self.module, "num_classes", 1)),
                 (max(self.thing_list) + 1) if self.thing_list else 1, 2)
         # D2H is bandwidth-cheap for the single packed block transfer, so
         # budget generously: overflow (dense fallback) is the expensive case

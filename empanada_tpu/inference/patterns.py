@@ -153,11 +153,22 @@ class ForwardMatcher:
                 rle_seg = self._to_rle_seg(item)
                 rle_seg = apply_matchers(rle_seg, self.matchers)
                 self.rle_stack.append(rle_seg)
-            except BaseException as e:  # surface in finish()
+            except BaseException as e:  # surface in finish()/put()
                 self._exc = e
+                # drain so producers blocked on the bounded queue wake up
+                while True:
+                    try:
+                        self._queue.get_nowait()
+                    except queue.Empty:
+                        break
                 break
 
+    def _check_worker(self):
+        if self._exc is not None:
+            raise self._exc
+
     def put(self, pan_seg):
+        self._check_worker()
         if pan_seg is None:
             return
         self._queue.put(pan_seg)
@@ -167,6 +178,7 @@ class ForwardMatcher:
         (B, 1+max_runs, 3) int32 run buffer; the worker moves it
         device->host with ONE transfer (per-op D2H latency dominates on
         tunneled devices) and decodes each slice's runs from it."""
+        self._check_worker()
         self._queue.put(("block", z_indices, pan_block, packed))
 
     def finish(self):

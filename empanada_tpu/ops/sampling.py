@@ -39,10 +39,12 @@ def point_sample(features: jax.Array, point_coords: jax.Array,
     wx = (x - x0)[..., None]
     wy = (y - y0)[..., None]
 
+    # clip each neighbor from the UNCLIPPED floor: clipping x0 first
+    # would shift the +1 neighbor and corrupt border interpolation
     x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
     y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
-    x1i = jnp.clip(x0i + 1, 0, w - 1)
-    y1i = jnp.clip(y0i + 1, 0, h - 1)
+    x1i = jnp.clip(x0.astype(jnp.int32) + 1, 0, w - 1)
+    y1i = jnp.clip(y0.astype(jnp.int32) + 1, 0, h - 1)
 
     def gather(f, yy, xx):
         return f[yy, xx]

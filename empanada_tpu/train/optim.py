@@ -97,10 +97,10 @@ def configure_optimizer(params, opt_name, lr_schedule, grad_clip=None,
     mask = decay_mask(params) if wd else None
 
     if opt_name == "AdamW":
+        betas = opt_params.pop("betas", (0.9, 0.999))
         tx = optax.adamw(
             learning_rate=lr_schedule, weight_decay=wd, mask=mask,
-            b1=opt_params.pop("betas", (0.9, 0.999))[0]
-            if "betas" in opt_params else 0.9,
+            b1=betas[0], b2=betas[1],
             **{k: v for k, v in opt_params.items() if k in ("eps",)})
     elif opt_name == "Adam":
         tx = optax.adam(learning_rate=lr_schedule)

@@ -319,9 +319,21 @@ class Trainer:
                     and epoch is not None
                     and (epoch + 1) % max(track_freq, 1) == 0)
 
+        is_bc = not hasattr(engine, "postprocess")  # BCEngine family
         for i in range(len(dataset)):
             ex = dataset[i]
             out = engine.infer(ex["image"][None])
+            if is_bc:
+                # BC engines emit sigmoid sem/cnt maps only; score the
+                # semantic channel (logit sign == prob>0.5) and skip
+                # panoptic metrics (no centers/offsets to merge)
+                bc = out["bc"]
+                sem_logits = bc[..., :1] - 0.5
+                meters.evaluate(
+                    {"sem_logits": sem_logits},
+                    {"sem": jnp.asarray(
+                        np.asarray(ex["sem"], np.float32))[None]})
+                continue
             pred_pan = engine.postprocess(
                 out["sem"], out["ctr_hmp"], out["offsets"])
             if snapshot and i in track_indices:
