@@ -100,7 +100,16 @@ def find_instance_centers(
     # the reference too; ties across a plateau produce multiple centers in
     # both implementations.
     scores = jnp.where(is_peak, x, -jnp.inf).reshape(-1)
-    top_scores, top_idx = jax.lax.top_k(scores, max_centers)
+    # tiny grids (shallow-volume orthoplane slices at 1/4 res) can have
+    # fewer pixels than the center budget
+    k = min(max_centers, scores.shape[0])
+    top_scores, top_idx = jax.lax.top_k(scores, k)
+    if k < max_centers:
+        pad = max_centers - k
+        top_scores = jnp.concatenate(
+            [top_scores, jnp.full((pad,), -jnp.inf, top_scores.dtype)])
+        top_idx = jnp.concatenate(
+            [top_idx, jnp.zeros((pad,), top_idx.dtype)])
     valid = top_scores > 0
     # reference orders centers by row-major nonzero scan
     # (postprocess.py:75); the per-class instance renumbering depends on
