@@ -88,3 +88,50 @@ def test_fused_runs_feed_matcher(model_and_vol):
         fm.put((pan,) + runs)
     rle_stack = fm.finish()
     assert len(rle_stack) == len(vol)
+
+
+def test_shallow_volume_orthoplane_axes(model_and_vol):
+    """Shallow volumes make tiny coarse NMS grids on xz/yz axes; the
+    center budget must clamp to the grid size (regression)."""
+    model, variables, _ = model_and_vol
+    rng = np.random.default_rng(7)
+    vol = rng.normal(0, 0.2, (4, 32, 24)).astype(np.float32)
+
+    class DS:
+        def __init__(self, v, axis):
+            self.v, self.axis = v, axis
+
+        def __len__(self):
+            return self.v.shape[self.axis]
+
+        def __getitem__(self, i):
+            sl = [slice(None)] * 3
+            sl[self.axis] = i
+            img = self.v[tuple(sl)]
+            return {"index": i, "image": img, "size": img.shape}
+
+    for axis in (1, 2):  # slices of shape (4, W) -> 1/4-res grid tiny
+        fused = FusedStackEngine(
+            model, variables, thing_list=[1], label_divisor=100,
+            stuff_area=0, median_kernel_size=3, padding_factor=16,
+            max_centers=64, block_size=4)
+        out = list(fused.infer_stack(DS(vol, axis)))
+        assert len(out) == vol.shape[axis]
+
+
+def test_matcher_worker_error_propagates():
+    """A poisoned item must surface the worker exception instead of
+    deadlocking the bounded queue (regression)."""
+    from empanada_tpu.inference import patterns
+
+    matchers = patterns.create_matchers([1], 100, 0.25, 0.25)
+    fm = patterns.ForwardMatcher(matchers, [1], 100, [1], queue_size=2)
+    fm.put("not-a-pan-seg")  # worker will raise converting this
+    import time
+
+    deadline = time.time() + 5
+    with pytest.raises(BaseException):
+        while time.time() < deadline:
+            fm.put(np.zeros((8, 8), np.int32))
+            time.sleep(0.01)
+        raise TimeoutError("worker exception never propagated")
