@@ -225,8 +225,9 @@ def main(argv=None):
         max_centers=args.max_centers,
         block_size=args.block_size,
         mesh=mesh,
-        save_panoptic_dir=(os.path.dirname(args.volume_path)
-                           if args.save_panoptic else None),
+        save_panoptic_dir=(
+            os.path.dirname(os.path.abspath(args.volume_path))
+            if args.save_panoptic else None),
     )
 
     # fill each class consensus into a zarr next to the input

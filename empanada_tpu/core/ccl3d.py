@@ -121,19 +121,29 @@ def connected_components_3d(vol, connectivity=26):
     return out.reshape(d, h, w)
 
 
-def size_threshold_3d(seg, threshold, connectivity=26, relabel=False):
+def size_threshold_3d(seg, threshold, relabel=False):
     """Remove components smaller than threshold voxels (cc3d.dust /
     skimage.remove_small_objects equivalent). seg must be a labelmap
-    where distinct instances already have distinct ids."""
+    where distinct instances already have distinct ids; with
+    ``relabel`` the survivors are renumbered compactly 1..N."""
     seg = np.asarray(seg)
     if threshold is None or threshold <= 1:
-        return seg
-    flat = seg.reshape(-1)
-    counts = np.bincount(flat.astype(np.int64))
-    small = np.nonzero(counts < threshold)[0]
-    if len(small) == 0:
-        return seg
-    lut = np.arange(len(counts), dtype=seg.dtype)
+        if not relabel:
+            return seg
+        counts = np.bincount(seg.reshape(-1).astype(np.int64))
+        small = np.zeros(0, np.int64)
+    else:
+        flat = seg.reshape(-1)
+        counts = np.bincount(flat.astype(np.int64))
+        small = np.nonzero(counts < threshold)[0]
+        if len(small) == 0 and not relabel:
+            return seg
+    lut = np.arange(len(counts), dtype=np.int64)
     lut[small] = 0
     lut[0] = 0
-    return lut[flat].reshape(seg.shape)
+    if relabel:
+        survivors = np.unique(lut[lut > 0])
+        remap = np.zeros(len(counts), np.int64)
+        remap[survivors] = np.arange(1, len(survivors) + 1)
+        lut = remap[lut]
+    return lut[seg.reshape(-1)].reshape(seg.shape).astype(seg.dtype)

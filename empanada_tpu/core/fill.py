@@ -17,9 +17,14 @@ __all__ = ["numpy_fill_instances", "chunked_fill_instances"]
 
 
 def numpy_fill_instances(volume: np.ndarray, instances: dict) -> np.ndarray:
-    """Fill a dense ndarray with instance ids from {'id': {'starts','runs'}}."""
+    """Fill a dense ndarray with instance ids from {'id': {'starts','runs'}}.
+
+    In place for contiguous arrays; a non-contiguous view would silently
+    receive nothing (reshape copies), so write back explicitly."""
     shape = volume.shape
-    flat = volume.reshape(-1)
+    contiguous = volume.flags.c_contiguous
+    flat = volume.reshape(-1) if contiguous else \
+        np.ascontiguousarray(volume).reshape(-1)
 
     for instance_id, attrs in instances.items():
         starts = np.asarray(attrs["starts"], dtype=np.int64)
@@ -32,7 +37,10 @@ def numpy_fill_instances(volume: np.ndarray, instances: dict) -> np.ndarray:
         idx = np.repeat(starts, runs) + _within_run_offsets(runs)
         flat[idx] = instance_id
 
-    return flat.reshape(shape)
+    filled = flat.reshape(shape)
+    if not contiguous:
+        volume[...] = filled  # keep the documented in-place contract
+    return filled
 
 
 def split_ranges_on_chunks(starts, runs, shape, chunks):

@@ -108,7 +108,19 @@ def coverage_ranges(ranges: np.ndarray, thr: int):
     if count > cap:  # shouldn't happen (output ranges <= input ranges)
         out = np.empty((count, 2), dtype=np.int64)
         count = lib.etpu_coverage_ranges(ranges, n, thr, out, count)
-    return out[:count].copy()
+    out = out[:count]
+    # canonicalize: the sweep emits touching ranges separately when an
+    # end event shares a coordinate with a start event; the numpy
+    # fallback merges them — keep both paths byte-identical
+    if count > 1:
+        touch = out[1:, 0] == out[:-1, 1]
+        if touch.any():
+            keep = np.concatenate([[True], ~touch])
+            group = np.cumsum(keep) - 1
+            merged = out[keep].copy()
+            np.maximum.at(merged[:, 1], group, out[:, 1])
+            return merged
+    return out.copy()
 
 
 def ranges_intersection(ranges_a: np.ndarray, ranges_b: np.ndarray):

@@ -85,9 +85,11 @@ class ForwardMatcher:
 
     The TPU-native replacement for the reference's mp.Process +
     forward_matching loop (patterns.py:68-99): ``put`` accepts either a
-    device panoptic map, a precomputed (starts, ends, values, n_runs)
-    device tuple from ops/rle_device.extract_runs (preferred — only
-    O(#runs) bytes cross PCIe), or None (median queue still filling).
+    device panoptic map, a 5-tuple (pan, starts, ends, values, n_runs)
+    pairing the map with device run buffers from
+    ops/rle_device.extract_runs (preferred — only O(#runs) bytes cross
+    PCIe, the map is the overflow fallback), or None (median queue still
+    filling). ``put_block`` takes a whole fused-engine block.
     ``finish`` joins the worker and returns the rle_stack.
     """
 

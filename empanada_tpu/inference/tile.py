@@ -25,6 +25,10 @@ def fixed_size_tiles(length, tile, min_border):
     consecutive overlap >= min_border, ends flush with the axis."""
     if tile >= length:
         return [(0, length)]
+    if min_border >= tile:
+        raise ValueError(
+            f"overlap_width ({min_border}) must be smaller than the "
+            f"tile size ({tile})")
     # smallest n with overlap (n*tile - length)/(n-1) >= min_border
     n = max(2, math.ceil((length - min_border) / (tile - min_border)))
     span = length - tile

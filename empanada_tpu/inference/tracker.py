@@ -14,6 +14,7 @@ import math
 import numpy as np
 
 from empanada_tpu.core.boxes import merge_boxes
+from empanada_tpu.core.ccl import _within_run_offsets
 from empanada_tpu.core.rle import (
     rle_decode,
     rle_encode,
@@ -64,7 +65,22 @@ class InstanceTracker:
                 starts = starts2d + index2d * math.prod(shape2d)
                 runs = runs2d
             elif self.axis == "xz":
-                # 2D rows are volume-z rows; x runs stay contiguous
+                # 2D rows are volume-z rows; x runs stay contiguous, but
+                # a canonical RLE may merge runs across 2D row (x-edge)
+                # boundaries — split those first or the tail would spill
+                # into the wrong volume row after re-raveling
+                w2d = shape2d[1]
+                ends2d = starts2d + runs2d
+                n_rows = (ends2d - 1) // w2d - starts2d // w2d
+                if n_rows.any():
+                    reps = n_rows + 1
+                    base = np.repeat(starts2d, reps)
+                    offs = _within_run_offsets(reps)
+                    row0 = np.repeat(starts2d // w2d, reps)
+                    rr = row0 + offs
+                    starts2d = np.maximum(base, rr * w2d)
+                    runs2d = np.minimum(np.repeat(ends2d, reps),
+                                        (rr + 1) * w2d) - starts2d
                 z, x = np.unravel_index(starts2d, shape2d)
                 starts = np.ravel_multi_index(
                     (z, np.full_like(z, index2d), x), shape3d)

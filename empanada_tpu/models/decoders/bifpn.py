@@ -45,20 +45,23 @@ class TopDownFPN(nn.Module):
         resize_up = Resize2d(2, "up")
         eps = 1e-4
 
+        # ONE shared after-combine conv for all levels of the pass —
+        # the reference appends the same module instance per level
+        # (reference decoders/bifpn.py:36-42)
+        if self.depthwise:
+            after = SeparableConvBNAct(self.fpn_dim, 3, act=nn.silu,
+                                       dtype=self.dtype, name="after")
+        else:
+            after = ConvBNAct(self.fpn_dim, 3, dtype=self.dtype,
+                              name="after")
+
         out = [feats[0]]
         for i in range(self.n_levels):
             high = Resample2d(self.fpn_dim, dtype=self.dtype,
                               name=f"resample_{i}")(feats[i + 1], train)
             w1, w2 = weights[i], weights[i + 1]
             fused = (w1 * resize_up(out[-1]) + w2 * high) / (w1 + w2 + eps)
-            if self.depthwise:
-                fused = SeparableConvBNAct(self.fpn_dim, 3, act=nn.silu,
-                                           dtype=self.dtype,
-                                           name=f"after_{i}")(fused, train)
-            else:
-                fused = ConvBNAct(self.fpn_dim, 3, dtype=self.dtype,
-                                  name=f"after_{i}")(fused, train)
-            out.append(fused)
+            out.append(after(fused, train))
         return out
 
 
@@ -76,6 +79,14 @@ class BottomUpFPN(nn.Module):
         resize_down = Resize2d(2, "down")
         eps = 1e-4
 
+        # shared after-combine conv (reference decoders/bifpn.py:92-98)
+        if self.depthwise:
+            after = SeparableConvBNAct(self.fpn_dim, 3, act=nn.silu,
+                                       dtype=self.dtype, name="after")
+        else:
+            after = ConvBNAct(self.fpn_dim, 3, dtype=self.dtype,
+                              name="after")
+
         out = [top_down[0]]
         for i in range(self.n_levels):
             pyr = Resample2d(self.fpn_dim, dtype=self.dtype,
@@ -89,15 +100,7 @@ class BottomUpFPN(nn.Module):
                 w1, w2 = weights[i], weights[i + 1]
                 num = w1 * resize_down(out[-1]) + w2 * pyr
                 den = w1 + w2 + eps
-            fused = num / den
-            if self.depthwise:
-                fused = SeparableConvBNAct(self.fpn_dim, 3, act=nn.silu,
-                                           dtype=self.dtype,
-                                           name=f"after_{i}")(fused, train)
-            else:
-                fused = ConvBNAct(self.fpn_dim, 3, dtype=self.dtype,
-                                  name=f"after_{i}")(fused, train)
-            out.append(fused)
+            out.append(after(num / den, train))
         return out
 
 

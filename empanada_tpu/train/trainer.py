@@ -334,8 +334,16 @@ class Trainer:
                     {"sem": jnp.asarray(
                         np.asarray(ex["sem"], np.float32))[None]})
                 continue
-            pred_pan = engine.postprocess(
-                out["sem"], out["ctr_hmp"], out["offsets"])
+            if hasattr(engine, "get_instance_cells"):
+                # render engines emit ctr/offsets at 1/4 res
+                # (coarse_boundaries); group on the coarse grid and
+                # merge at full resolution (reference engines.py:300-325)
+                cells = engine.get_instance_cells(
+                    out["ctr_hmp"], out["offsets"])
+                pred_pan = engine.get_panoptic_seg(out["sem"], cells)
+            else:
+                pred_pan = engine.postprocess(
+                    out["sem"], out["ctr_hmp"], out["offsets"])
             if snapshot and i in track_indices:
                 _save_eval_snapshot(logger, epoch, i, ex["image"],
                                     np.asarray(pred_pan))
@@ -380,6 +388,11 @@ class Trainer:
         tcfg = self.config["TRAIN"]
         loader = loader or self.build_loader()
         steps_per_epoch = len(loader)
+        if steps_per_epoch == 0:
+            raise ValueError(
+                "empty training loader: fewer images than batch_size "
+                f"({self.batch_size}) with drop_last — add data or "
+                "reduce TRAIN.batch_size")
         if self.state is None:
             self.init_state(steps_per_epoch)
         epochs = epochs or tcfg.get(
