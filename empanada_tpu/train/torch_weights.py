@@ -50,9 +50,19 @@ def _classify_torch(sd):
 
     convs, conv_biases, bn_scales, bn_biases, bn_means, bn_vars = \
         [], [], [], [], [], []
+    fusion_weights = []
+    seen_storage = set()
     for k, v in sd.items():
         if k.startswith("fc.") or ".fc." in k:
             continue  # classification head, never used (train.py:146)
+        # modules shared across an nn.ModuleList (the reference BiFPN's
+        # after-combine convs) appear once per registration in the state
+        # dict — keep only the first occurrence of each tensor
+        if hasattr(v, "data_ptr"):
+            ptr = (v.data_ptr(), tuple(v.shape))
+            if ptr in seen_storage:
+                continue
+            seen_storage.add(ptr)
         v = np.asarray(v.detach().numpy() if hasattr(v, "detach") else v)
         prefix = k.rsplit(".", 1)[0]
         leaf = k.rsplit(".", 1)[1]
@@ -62,9 +72,12 @@ def _classify_torch(sd):
              "num_batches_tracked": []}.get(leaf, []).append((k, v))
         elif leaf == "weight" and v.ndim == 4:
             convs.append((k, v))
+        elif leaf == "weights" and v.ndim == 1:
+            fusion_weights.append((k, v))  # BiFPN fast-fusion params
         elif leaf == "bias":
             conv_biases.append((k, v))
-    return convs, conv_biases, bn_scales, bn_biases, bn_means, bn_vars
+    return (convs, conv_biases, bn_scales, bn_biases, bn_means, bn_vars,
+            fusion_weights)
 
 
 def _registration_order(flat_keys):
@@ -92,6 +105,15 @@ def _registration_order(flat_keys):
         base, _, suffix = seg.rpartition("_")
         if base in rank and suffix.isdigit():
             return (1, rank[base], int(suffix))
+        # BiFPN top-down/bottom-up passes: torch registers resamplings,
+        # then the (shared) after-combine conv, then the fusion weights;
+        # flax traces fusion weights first and interleaves the rest
+        if base == "resample" and suffix.isdigit():
+            return (1, 0, int(suffix))
+        if seg == "after":
+            return (1, 5, 0)
+        if seg == "fusion_weights":
+            return (1, 6, 0)
         return (0, child_order[parent][seg], 0)
 
     return sorted(
@@ -106,8 +128,8 @@ def convert_encoder_state_dict(sd, params, batch_stats):
     Returns (new_params, new_batch_stats, report) — report lists matched
     and skipped entries. Raises on any shape mismatch.
     """
-    convs, conv_biases, bn_scales, bn_biases, bn_means, bn_vars = \
-        _classify_torch(sd)
+    (convs, conv_biases, bn_scales, bn_biases, bn_means, bn_vars,
+     fusion_weights) = _classify_torch(sd)
 
     flat_p_raw = traverse_util.flatten_dict(params)
     flat_p = {k: flat_p_raw[k] for k in _registration_order(flat_p_raw)}
@@ -122,6 +144,7 @@ def convert_encoder_state_dict(sd, params, batch_stats):
         "bn_bias": list(bn_biases),
         "mean": list(bn_means),
         "var": list(bn_vars),
+        "fusion": list(fusion_weights),
     }
     matched = []
 
@@ -144,7 +167,15 @@ def convert_encoder_state_dict(sd, params, batch_stats):
     for path, p in flat_p.items():
         leaf = path[-1]
         in_bn = any("BatchNorm" in seg for seg in path)
-        if leaf == "kernel" and p.ndim == 4:
+        in_tconv = any("ConvTranspose" in seg for seg in path)
+        if leaf == "kernel" and p.ndim == 4 and in_tconv:
+            # torch ConvTranspose2d weight is (in, out, kh, kw) and flips
+            # spatially relative to flax ConvTranspose (verified
+            # numerically): -> (kh, kw, in, out) + spatial flip
+            new_p[path] = take(
+                "kernel", path, p.shape,
+                lambda v: v.transpose(2, 3, 0, 1)[::-1, ::-1].copy())
+        elif leaf == "kernel" and p.ndim == 4:
             new_p[path] = take("kernel", path, p.shape,
                                lambda v: v.transpose(2, 3, 1, 0))
         elif leaf == "scale" and in_bn:
@@ -153,6 +184,8 @@ def convert_encoder_state_dict(sd, params, batch_stats):
             new_p[path] = take("bn_bias", path, p.shape)
         elif leaf == "bias":
             new_p[path] = take("conv_bias", path, p.shape)
+        elif leaf == "fusion_weights":
+            new_p[path] = take("fusion", path, p.shape)
         else:
             new_p[path] = p
 

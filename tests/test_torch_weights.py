@@ -198,6 +198,86 @@ class TestTorchToFlax:
             max_diff = float(np.abs(t_np - np.asarray(f_out[k])).max())
             assert max_diff <= 1e-5 * scale, (k, max_diff, scale)
 
+    def test_full_panoptic_bifpn_parity(self):
+        """Whole-MitoNet-architecture golden test: reference torch
+        PanopticBiFPN (regnet encoder + BiFPN with shared after-combine
+        convs and fusion weights + transpose-conv ladder decoder + heads)
+        vs the flax model through the converter."""
+        import types
+
+        import jax
+
+        from empanada_tpu.models import create_model
+        from empanada_tpu.train.torch_weights import (
+            convert_encoder_state_dict,
+        )
+
+        R = "/root/reference/empanada/models"
+        for pkg in ("empanada", "empanada.models",
+                    "empanada.models.encoders", "empanada.models.decoders"):
+            sys.modules.setdefault(pkg, types.ModuleType(pkg))
+
+        def load(name, path):
+            spec = importlib.util.spec_from_file_location(name, path)
+            mod = importlib.util.module_from_spec(spec)
+            sys.modules[name] = mod
+            spec.loader.exec_module(mod)
+            return mod
+
+        load("empanada.models.blocks", f"{R}/blocks.py")
+        rn = load("empanada.models.encoders.resnet",
+                  f"{R}/encoders/resnet.py")
+        rg = load("empanada.models.encoders.regnet",
+                  f"{R}/encoders/regnet.py")
+        enc_pkg = sys.modules["empanada.models.encoders"]
+        for mod in (rn, rg):
+            for k in getattr(mod, "__all__", []):
+                setattr(enc_pkg, k, getattr(mod, k))
+        sys.modules["empanada.models"].encoders = enc_pkg
+        load("empanada.models.decoders.aspp", f"{R}/decoders/aspp.py")
+        dec = load("empanada.models.decoders.panoptic_deeplab",
+                   f"{R}/decoders/panoptic_deeplab.py")
+        bif = load("empanada.models.decoders.bifpn",
+                   f"{R}/decoders/bifpn.py")
+        dp = sys.modules["empanada.models.decoders"]
+        dp.PanopticDeepLabDecoder = dec.PanopticDeepLabDecoder
+        dp.BiFPN = bif.BiFPN
+        dp.BiFPNDecoder = bif.BiFPNDecoder
+        load("empanada.models.heads", f"{R}/heads.py")
+        load("empanada.models.point_rend", f"{R}/point_rend.py")
+        pb = load("empanada.models.panoptic_bifpn",
+                  f"{R}/panoptic_bifpn.py")
+
+        tmodel = pb.PanopticBiFPN(encoder="regnety_200mf", num_classes=1,
+                                  fpn_dim=96, fpn_layers=2).eval()
+        with torch.no_grad():
+            for m in tmodel.modules():
+                if isinstance(m, torch.nn.BatchNorm2d):
+                    m.running_mean.normal_(0, 0.05)
+                    m.running_var.uniform_(0.8, 1.2)
+
+        fmodel = create_model("PanopticBiFPN", encoder="regnety_200mf",
+                              num_classes=1, fpn_dim=96, fpn_layers=2)
+        x = np.random.default_rng(0).normal(
+            0, 1, (1, 128, 128, 1)).astype(np.float32)
+        variables = fmodel.init(
+            {"params": jax.random.key(0), "points": jax.random.key(1),
+             "dropout": jax.random.key(2)}, x, train=False)
+        params, batch_stats, report = convert_encoder_state_dict(
+            tmodel.state_dict(), variables["params"],
+            variables["batch_stats"])
+        assert not report["leftover"], report
+
+        with torch.no_grad():
+            t_out = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+        f_out = fmodel.apply(
+            {"params": params, "batch_stats": batch_stats}, x, train=False)
+        for k in ("sem_logits", "ctr_hmp", "offsets"):
+            t_np = t_out[k].numpy().transpose(0, 2, 3, 1)
+            scale = max(1.0, float(np.abs(t_np).max()))
+            max_diff = float(np.abs(t_np - np.asarray(f_out[k])).max())
+            assert max_diff <= 1e-5 * scale, (k, max_diff, scale)
+
     def test_encoder_pretraining_into_full_model(self, tmp_path):
         import jax
 
