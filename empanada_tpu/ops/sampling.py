@@ -21,8 +21,10 @@ def point_sample(features: jax.Array, point_coords: jax.Array,
 
     Coordinate convention follows the reference: the last dim of
     point_coords is (x, y) — matching grid_sample's (x, y) grid ordering.
-    Out-of-range coords clamp to the border (grid_sample padding_mode=zeros
-    differs at the extreme edges, but PointRend only ever samples in-range).
+    Bilinear mode reproduces grid_sample padding_mode='zeros': corners
+    outside the grid contribute zero. This matters: PointRend's eval grid
+    coords place the border ring at source -0.25, where zero-padding and
+    clamping visibly differ.
     """
     n, h, w, c = features.shape
 
@@ -34,26 +36,24 @@ def point_sample(features: jax.Array, point_coords: jax.Array,
         yi = jnp.clip(jnp.round(y).astype(jnp.int32), 0, h - 1)
         return jax.vmap(lambda f, yy, xx: f[yy, xx])(features, yi, xi)
 
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
-    wx = (x - x0)[..., None]
-    wy = (y - y0)[..., None]
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    wx = (x - jnp.floor(x))[..., None]
+    wy = (y - jnp.floor(y))[..., None]
+    x1 = x0 + 1
+    y1 = y0 + 1
 
-    # clip each neighbor from the UNCLIPPED floor: clipping x0 first
-    # would shift the +1 neighbor and corrupt border interpolation
-    x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
-    y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
-    x1i = jnp.clip(x0.astype(jnp.int32) + 1, 0, w - 1)
-    y1i = jnp.clip(y0.astype(jnp.int32) + 1, 0, h - 1)
+    def corner(yy, xx):
+        valid = ((yy >= 0) & (yy < h) & (xx >= 0) & (xx < w))
+        yc = jnp.clip(yy, 0, h - 1)
+        xc = jnp.clip(xx, 0, w - 1)
+        vals = jax.vmap(lambda f, a, b: f[a, b])(features, yc, xc)
+        return vals * valid[..., None].astype(vals.dtype)
 
-    def gather(f, yy, xx):
-        return f[yy, xx]
-
-    g = jax.vmap(gather)
-    v00 = g(features, y0i, x0i)
-    v01 = g(features, y0i, x1i)
-    v10 = g(features, y1i, x0i)
-    v11 = g(features, y1i, x1i)
+    v00 = corner(y0, x0)
+    v01 = corner(y0, x1)
+    v10 = corner(y1, x0)
+    v11 = corner(y1, x1)
 
     top = v00 * (1 - wx) + v01 * wx
     bot = v10 * (1 - wx) + v11 * wx

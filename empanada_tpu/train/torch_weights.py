@@ -51,6 +51,7 @@ def _classify_torch(sd):
     convs, conv_biases, bn_scales, bn_biases, bn_means, bn_vars = \
         [], [], [], [], [], []
     fusion_weights = []
+    convs1d = []
     seen_storage = set()
     for k, v in sd.items():
         if k.startswith("fc.") or ".fc." in k:
@@ -72,12 +73,14 @@ def _classify_torch(sd):
              "num_batches_tracked": []}.get(leaf, []).append((k, v))
         elif leaf == "weight" and v.ndim == 4:
             convs.append((k, v))
+        elif leaf == "weight" and v.ndim == 3:
+            convs1d.append((k, v))  # Conv1d (PointRend MLP layers)
         elif leaf == "weights" and v.ndim == 1:
             fusion_weights.append((k, v))  # BiFPN fast-fusion params
         elif leaf == "bias":
             conv_biases.append((k, v))
     return (convs, conv_biases, bn_scales, bn_biases, bn_means, bn_vars,
-            fusion_weights)
+            fusion_weights, convs1d)
 
 
 def _registration_order(flat_keys):
@@ -129,7 +132,7 @@ def convert_encoder_state_dict(sd, params, batch_stats):
     and skipped entries. Raises on any shape mismatch.
     """
     (convs, conv_biases, bn_scales, bn_biases, bn_means, bn_vars,
-     fusion_weights) = _classify_torch(sd)
+     fusion_weights, convs1d) = _classify_torch(sd)
 
     flat_p_raw = traverse_util.flatten_dict(params)
     flat_p = {k: flat_p_raw[k] for k in _registration_order(flat_p_raw)}
@@ -145,6 +148,7 @@ def convert_encoder_state_dict(sd, params, batch_stats):
         "mean": list(bn_means),
         "var": list(bn_vars),
         "fusion": list(fusion_weights),
+        "kernel1d": list(convs1d),
     }
     matched = []
 
@@ -178,6 +182,10 @@ def convert_encoder_state_dict(sd, params, batch_stats):
         elif leaf == "kernel" and p.ndim == 4:
             new_p[path] = take("kernel", path, p.shape,
                                lambda v: v.transpose(2, 3, 1, 0))
+        elif leaf == "kernel" and p.ndim == 2:
+            # flax Dense <- torch Conv1d(kernel_size=1): (out, in, 1)
+            new_p[path] = take("kernel1d", path, p.shape,
+                               lambda v: v[:, :, 0].T)
         elif leaf == "scale" and in_bn:
             new_p[path] = take("scale", path, p.shape)
         elif leaf == "bias" and in_bn:

@@ -315,3 +315,70 @@ class TestTorchToFlax:
         # model still runs
         out = model.apply(new_vars, x, train=False)
         assert out["sem_logits"].shape == (1, 64, 64, 1)
+
+
+class TestPointRendParity:
+    @pytest.mark.parametrize("steps,npts", [(1, 256), (2, 64)])
+    def test_render_head_exact(self, steps, npts):
+        """Isolated PointRendSemSegHead eval parity vs the reference
+        torch module (converted weights): the subdivision render loop
+        (upsample -> top-K uncertain -> point MLP -> scatter) must match
+        exactly, including border-pixel sampling (grid_sample zero
+        padding)."""
+        import importlib.util as ilu
+        import types
+
+        import jax
+        import jax.numpy as jnp
+
+        from empanada_tpu.models.point_rend import PointRendSemSegHead
+        from empanada_tpu.train.torch_weights import (
+            convert_encoder_state_dict,
+        )
+
+        R = "/root/reference/empanada/models"
+        for pkg in ("empanada", "empanada.models"):
+            sys.modules.setdefault(pkg, types.ModuleType(pkg))
+
+        def load(name, path):
+            spec = ilu.spec_from_file_location(name, path)
+            mod = ilu.module_from_spec(spec)
+            sys.modules[name] = mod
+            spec.loader.exec_module(mod)
+            return mod
+
+        load("empanada.models.blocks", f"{R}/blocks.py")
+        pr = load("empanada.models.point_rend", f"{R}/point_rend.py")
+
+        rng = np.random.default_rng(0)
+        C, F = 1, 8
+        coarse = rng.normal(0, 1, (1, 8, 8, C)).astype(np.float32)
+        feats = rng.normal(0, 1, (1, 8, 8, F)).astype(np.float32)
+
+        torch.manual_seed(1)
+        thead = pr.PointRendSemSegHead(
+            F, C, subdivision_steps=steps,
+            subdivision_num_points=npts).eval()
+        with torch.no_grad():
+            for m in thead.modules():
+                if isinstance(m, torch.nn.Conv1d):
+                    torch.nn.init.normal_(m.weight, std=0.3)
+                    torch.nn.init.normal_(m.bias, std=0.1)
+        with torch.no_grad():
+            want = thead(
+                torch.from_numpy(coarse.transpose(0, 3, 1, 2)),
+                torch.from_numpy(feats.transpose(0, 3, 1, 2))
+            )["sem_seg_logits"].numpy().transpose(0, 2, 3, 1)
+
+        fhead = PointRendSemSegHead(num_classes=C, subdivision_steps=steps,
+                                    subdivision_num_points=npts)
+        variables = fhead.init(
+            {"params": jax.random.key(0), "points": jax.random.key(1)},
+            jnp.asarray(coarse), jnp.asarray(feats), train=False)
+        params, _, report = convert_encoder_state_dict(
+            thead.state_dict(), variables["params"], {})
+        assert not report["leftover"], report
+        got = np.asarray(fhead.apply(
+            {"params": params}, jnp.asarray(coarse), jnp.asarray(feats),
+            train=False)["sem_seg_logits"])
+        assert np.abs(want - got).max() < 1e-5
