@@ -248,15 +248,21 @@ class TestTorchToFlax:
         pb = load("empanada.models.panoptic_bifpn",
                   f"{R}/panoptic_bifpn.py")
 
-        tmodel = pb.PanopticBiFPN(encoder="regnety_200mf", num_classes=1,
-                                  fpn_dim=96, fpn_layers=2).eval()
+        # the PR variant IS MitoNet: encoder + BiFPN + ladder decoder +
+        # heads + the PointRend subdivision render, all exercised
+        torch.manual_seed(0)
+        tmodel = pb.PanopticBiFPNPR(encoder="regnety_200mf", num_classes=1,
+                                    fpn_dim=96, fpn_layers=2).eval()
         with torch.no_grad():
             for m in tmodel.modules():
                 if isinstance(m, torch.nn.BatchNorm2d):
                     m.running_mean.normal_(0, 0.05)
                     m.running_var.uniform_(0.8, 1.2)
+            for name, mod in tmodel.named_modules():
+                if "point_head" in name and isinstance(mod, torch.nn.Conv1d):
+                    torch.nn.init.normal_(mod.weight, std=0.3)
 
-        fmodel = create_model("PanopticBiFPN", encoder="regnety_200mf",
+        fmodel = create_model("PanopticBiFPNPR", encoder="regnety_200mf",
                               num_classes=1, fpn_dim=96, fpn_layers=2)
         x = np.random.default_rng(0).normal(
             0, 1, (1, 128, 128, 1)).astype(np.float32)
@@ -271,7 +277,8 @@ class TestTorchToFlax:
         with torch.no_grad():
             t_out = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2)))
         f_out = fmodel.apply(
-            {"params": params, "batch_stats": batch_stats}, x, train=False)
+            {"params": params, "batch_stats": batch_stats}, x, train=False,
+            render_steps=2, interpolate_ins=True)
         for k in ("sem_logits", "ctr_hmp", "offsets"):
             t_np = t_out[k].numpy().transpose(0, 2, 3, 1)
             scale = max(1.0, float(np.abs(t_np).max()))
