@@ -56,6 +56,7 @@ def main(argv=None):
         min_span=args.min_span, pixel_vote_thr=args.pixel_vote_thr,
         cluster_iou_thr=args.cluster_iou_thr,
         padding_factor=desc.get("padding_factor", 128),
+        norms=desc.get("norms"),
     )
 
     out_dir = args.out_dir or os.path.dirname(args.volume_path) or "."

@@ -73,7 +73,7 @@ def run_inference3d(
     pixel_vote_thr=2, cluster_iou_thr=0.75, min_size=500, min_span=4,
     downsample_f=1, one_view=False, fine_boundaries=False,
     padding_factor=128, max_centers=256, save_panoptic_dir=None,
-    progress=True, block_size=8, mesh=None,
+    progress=True, block_size=8, mesh=None, norms=None,
 ):
     """Full 3D inference; returns {class_id: consensus InstanceTracker}.
 
@@ -83,6 +83,7 @@ def run_inference3d(
     dispatch per ``block_size`` slices, optionally sharded over ``mesh``.
     """
     from empanada_tpu.data import VolumeDataset
+    from empanada_tpu.data.utils.transforms import Compose, Normalize
     from empanada_tpu.inference import patterns
     from empanada_tpu.inference.fused import FusedStackEngine
 
@@ -90,6 +91,12 @@ def run_inference3d(
         module, variables = model
     else:  # JittedModel
         module, variables = model.module, model.params
+
+    # the reference normalizes volume slices with the exported model's
+    # norms (pdl_inference3d.py dataset transforms); skipping this feeds
+    # raw intensities to a model trained on normalized inputs
+    tfs = Compose([Normalize(mean=norms["mean"], std=norms["std"])]) \
+        if norms else None
 
     shape = tuple(volume.shape)
     axes = {"xy": 0} if mode == "stack" else {"xy": 0, "xz": 1, "yz": 2}
@@ -118,7 +125,8 @@ def run_inference3d(
             thing_list, label_divisor, iou_thr, ioa_thr)
         fm = patterns.ForwardMatcher(matchers, labels, label_divisor,
                                      thing_list)
-        dataset = VolumeDataset(volume, axis=axis, scale=downsample_f)
+        dataset = VolumeDataset(volume, axis=axis, tfs=tfs,
+                                scale=downsample_f)
         n = len(dataset)
 
         pan_stack = [] if save_panoptic_dir else None
@@ -223,6 +231,7 @@ def main(argv=None):
         one_view=args.one_view, fine_boundaries=args.fine_boundaries,
         padding_factor=desc.get("padding_factor", 128),
         max_centers=args.max_centers,
+        norms=desc.get("norms"),
         block_size=args.block_size,
         mesh=mesh,
         save_panoptic_dir=(

@@ -82,22 +82,49 @@ def rle_matcher(target_instance_rles, match_instance_rles, iou_thr=0.5,
 
 def fast_matcher(target_instance_seg, match_instance_seg, iou_thr=0.5,
                  return_iou=False, return_ioa=False):
-    """Dense-mask Hungarian matching (train-time metrics path,
-    reference matcher.py:30-134). Implemented by RLE-encoding both masks
-    first — same outputs, one code path."""
-    from empanada_tpu.core.ccl import image_to_runs, region_props_from_runs
-
-    def seg_to_rles(seg):
-        seg = np.asarray(seg).astype(np.int32)
-        s, e, v = image_to_runs(seg)
-        fg = v != 0
-        props = region_props_from_runs(s[fg], e[fg], v[fg], seg.shape)
-        return {lab: {"box": p["box"], "starts": p["starts"],
-                      "runs": p["runs"]} for lab, p in props.items()}
-
-    return rle_matcher(seg_to_rles(target_instance_seg),
-                       seg_to_rles(match_instance_seg),
+    """Dense-mask Hungarian matching for 2D or 3D label maps (train-time
+    metrics path, reference matcher.py:30-134). Implemented by
+    RLE-encoding both masks first — same outputs, one code path."""
+    return rle_matcher(_seg_to_rles(target_instance_seg),
+                       _seg_to_rles(match_instance_seg),
                        iou_thr, return_iou, return_ioa)
+
+
+def _seg_to_rles(seg):
+    """Any-dimensional label map -> {label: {box, starts, runs}} over the
+    raveled array (boxes in N-d coords for pair screening)."""
+    seg = np.asarray(seg)
+    shape = seg.shape
+    flat = seg.reshape(-1)
+    n = flat.size
+    w = shape[-1]
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    change[1:] = flat[1:] != flat[:-1]
+    change[::w] = True  # row-confined runs -> exact N-d boxes below
+    starts = np.nonzero(change)[0]
+    ends = np.concatenate([starts[1:], [n]])
+    values = flat[starts]
+
+    fg = values != 0
+    starts, ends, values = starts[fg], ends[fg], values[fg]
+    out = {}
+    if len(starts) == 0:
+        return out
+
+    order = np.argsort(values, kind="stable")
+    s, e, v = starts[order], ends[order], values[order]
+    bounds = np.nonzero(np.concatenate([[True], v[1:] != v[:-1]]))[0]
+    bounds = np.concatenate([bounds, [len(v)]])
+    for bi in range(len(bounds) - 1):
+        i0, i1 = bounds[bi], bounds[bi + 1]
+        rs, re = s[i0:i1], e[i0:i1]
+        lo = np.unravel_index(rs, shape)
+        hi = np.unravel_index(re - 1, shape)
+        box = tuple(int(np.min(c)) for c in lo) + \
+            tuple(int(np.max(c)) + 1 for c in hi)
+        out[int(v[i0])] = {"box": box, "starts": rs, "runs": re - rs}
+    return out
 
 
 class RLEMatcher:
