@@ -20,11 +20,16 @@ __all__ = ["main", "run_bc_inference3d"]
 def run_bc_inference3d(model, volume, *, mode="orthoplane", qlen=3,
                        padding_factor=128, seg_thr=0.9, cnt_thr=0.8,
                        fg_thr=0.85, seed_thres=32, min_size=128,
-                       label_divisor=1000, downsample_f=1, progress=True):
+                       label_divisor=1000, downsample_f=1, progress=True,
+                       norms=None):
     """Returns the dense instance labelmap from BC watershed decoding."""
     from empanada_tpu.data import VolumeDataset
+    from empanada_tpu.data.utils.transforms import Compose, Normalize
     from empanada_tpu.inference.engines import BCEngine3d
     from empanada_tpu.inference.watershed import bc_watershed
+
+    tfs = Compose([Normalize(mean=norms["mean"], std=norms["std"])]) \
+        if norms else None
 
     shape = tuple(volume.shape)
     axes = {"xy": 0} if mode == "stack" else {"xy": 0, "xz": 1, "yz": 2}
@@ -37,7 +42,8 @@ def run_bc_inference3d(model, volume, *, mode="orthoplane", qlen=3,
     for axis_name, axis in axes.items():
         engine = BCEngine3d(model, median_kernel_size=qlen,
                             padding_factor=padding_factor)
-        dataset = VolumeDataset(volume, axis=axis, scale=downsample_f)
+        dataset = VolumeDataset(volume, axis=axis, tfs=tfs,
+                                scale=downsample_f)
         n = len(dataset)
 
         def put(idx, bc):
@@ -137,7 +143,7 @@ def main(argv=None):
         padding_factor=desc.get("padding_factor", 128),
         seg_thr=args.seg_thr, cnt_thr=args.cnt_thr, fg_thr=args.fg_thr,
         seed_thres=args.seed_thres, min_size=args.min_size,
-        label_divisor=args.label_divisor)
+        label_divisor=args.label_divisor, norms=desc.get("norms"))
 
     out_dir = args.out_dir or os.path.dirname(args.volume_path) or "."
     base = args.volume_path.rstrip("/").rsplit(".zarr", 1)[0]
