@@ -36,6 +36,7 @@ from empanada_tpu.ops.postprocess import (
     harden_semantic,
     median_small,
     merge_semantic_and_instance,
+    merge_semantic_and_instance_coarse,
 )
 from empanada_tpu.ops.rle_device import extract_fg_runs
 from empanada_tpu.ops.resize import factor_pad
@@ -112,16 +113,20 @@ class FusedStackEngine:
         def postprocess_one(sem_prob, ctr, off):
             centers, valid = find_instance_centers(
                 ctr, self.nms_threshold, self.nms_kernel, self.max_centers)
-            ins = group_pixels(centers, valid, off, step=float(step))
-            ins = jnp.where(jnp.any(valid), ins, 0)
-            if scale > 1:
-                ins = jnp.repeat(jnp.repeat(ins, scale, axis=0),
-                                 scale, axis=1)
+            ins_coarse = group_pixels(centers, valid, off, step=float(step))
+            ins_coarse = jnp.where(jnp.any(valid), ins_coarse, 0)
             sem = harden_semantic(sem_prob, self.confidence_thr)
-            ins = jnp.where(thing_table[sem], ins, 0)
-            pan = merge_semantic_and_instance(
-                sem, ins, self.label_divisor, thing_table, self.stuff_area,
-                self.void_label, self.max_centers, num_classes)
+            if scale > 1:
+                # block-constant cells: vote on the coarse grid
+                pan = merge_semantic_and_instance_coarse(
+                    sem, ins_coarse, scale, self.label_divisor,
+                    thing_table, self.stuff_area, self.void_label,
+                    self.max_centers, num_classes)
+            else:
+                pan = merge_semantic_and_instance(
+                    sem, ins_coarse, self.label_divisor, thing_table,
+                    self.stuff_area, self.void_label, self.max_centers,
+                    num_classes)
             pan = pan[:oh, :ow]
             starts, ends, values, n_runs = extract_fg_runs(pan, max_runs)
             # pack runs + count into ONE int32 buffer: D2H on this
