@@ -28,7 +28,7 @@ import numpy as np
 _nullcontext = contextlib.nullcontext
 
 REFERENCE_GPU_SLICES_PER_SEC = 10.0  # estimated V100-class baseline, 512^2
-N_SLICES = 64
+N_SLICES = 128
 H = W = 512
 
 

@@ -99,4 +99,29 @@ pq = PQ(AverageMeter, [1], 1000).calculate(o, t)[1]
 f1 = F1(AverageMeter, [1], 1000).calculate(o, t)[1]
 print(f'3D PQ={pq:.3f} F1@50={f1:.3f}')
 assert f1 >= 0.6, f1
-print('LEARNED END-TO-END OK')
+print('stack mode OK')
+
+# ---- orthoplane: isotropic spheres through the full 3-axis consensus ----
+D = H = W = 48
+vol = rng.normal(140, 8, (D, H, W))
+gt = np.zeros((D, H, W), np.uint32)
+zz, yy, xx = np.mgrid[:D, :H, :W]
+for i, (cz, cy, cx, r) in enumerate([(14, 14, 14, 7), (30, 34, 20, 8), (22, 24, 38, 6)]):
+    ball = (zz-cz)**2 + (yy-cy)**2 + (xx-cx)**2 <= r*r
+    vol[ball] -= 60
+    gt[ball] = i + 1
+vol = np.clip(vol, 0, 255).astype(np.uint8)
+cons = run_inference3d(model, vol, labels=[1], thing_list=[1], mode='orthoplane',
+    qlen=3, label_divisor=1000, seg_thr=0.5, nms_thr=0.2, nms_kernel=7,
+    min_size=50, min_span=2, max_centers=64, block_size=4,
+    padding_factor=16, norms=desc['norms'], progress=False)
+pred = np.zeros((D, H, W), np.int64)
+fill_volume(pred, cons[1].instances)
+# consensus ids are 1..n (reference convention); window for PQ
+pred_pan = np.where(pred > 0, 1000 + pred, 0)
+gt_pan2 = np.where(gt > 0, 1000 + gt.astype(np.int64), 0)
+pq = PQ(AverageMeter, [1], 1000).calculate({'pan_seg': pred_pan}, {'pan_seg': gt_pan2})[1]
+f1o = F1(AverageMeter, [1], 1000).calculate({'pan_seg': pred_pan}, {'pan_seg': gt_pan2})[1]
+print(f'ORTHOPLANE PQ={pq:.3f} F1@50={f1o:.3f}')
+assert f1o >= 0.6, f1o
+print('LEARNED END-TO-END OK (stack + orthoplane)')
