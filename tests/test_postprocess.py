@@ -179,3 +179,38 @@ class TestStandalone:
             max_centers=16))
         # thing pixels with no centers stay void
         assert (pan == 0).all()
+
+
+def test_coarse_merge_matches_full():
+    """merge_semantic_and_instance_coarse must equal the full-resolution
+    merge when instance cells are block-constant (the render path)."""
+    import jax.numpy as jnp
+
+    from empanada_tpu.ops.postprocess import (
+        merge_semantic_and_instance,
+        merge_semantic_and_instance_coarse,
+    )
+
+    rng = np.random.default_rng(0)
+    scale = 4
+    hc = wc = 16
+    H = W = hc * scale
+    num_classes = 3
+    max_centers = 16
+    thing_table = jnp.asarray(np.array([False, True, False]))  # class 1 thing
+
+    for trial in range(3):
+        ins_coarse = jnp.asarray(
+            rng.integers(0, max_centers + 1, (hc, wc)).astype(np.int32))
+        sem = jnp.asarray(
+            rng.integers(0, num_classes, (H, W)).astype(np.int32))
+        ins_full = jnp.repeat(jnp.repeat(ins_coarse, scale, 0), scale, 1)
+
+        full = merge_semantic_and_instance(
+            sem, jnp.where(thing_table[sem], ins_full, 0), 1000,
+            thing_table, 64, 0, max_centers, num_classes)
+        coarse = merge_semantic_and_instance_coarse(
+            sem, ins_coarse, scale, 1000, thing_table, 64, 0,
+            max_centers, num_classes)
+        np.testing.assert_array_equal(np.asarray(full), np.asarray(coarse),
+                                      err_msg=f"trial {trial}")
