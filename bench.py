@@ -94,7 +94,7 @@ def main():
 
     label_divisor = 1000
     engine = FusedStackEngine(
-        model, variables, thing_list=[1], block_size=32,
+        model, variables, thing_list=[1], block_size=16,
         label_divisor=label_divisor, median_kernel_size=3,
         padding_factor=128, coarse_boundaries=True, max_centers=256)
 
