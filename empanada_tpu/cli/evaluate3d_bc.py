@@ -24,12 +24,11 @@ def run_bc_inference3d(model, volume, *, mode="orthoplane", qlen=3,
                        norms=None):
     """Returns the dense instance labelmap from BC watershed decoding."""
     from empanada_tpu.data import VolumeDataset
-    from empanada_tpu.data.utils.transforms import Compose, Normalize
+    from empanada_tpu.data.utils.transforms import create_augmentations
     from empanada_tpu.inference.engines import BCEngine3d
     from empanada_tpu.inference.watershed import bc_watershed
 
-    tfs = Compose([Normalize(mean=norms["mean"], std=norms["std"])]) \
-        if norms else None
+    tfs = create_augmentations(None, norms=norms) if norms else None
 
     shape = tuple(volume.shape)
     axes = {"xy": 0} if mode == "stack" else {"xy": 0, "xz": 1, "yz": 2}

@@ -83,7 +83,7 @@ def run_inference3d(
     dispatch per ``block_size`` slices, optionally sharded over ``mesh``.
     """
     from empanada_tpu.data import VolumeDataset
-    from empanada_tpu.data.utils.transforms import Compose, Normalize
+    from empanada_tpu.data.utils.transforms import create_augmentations
     from empanada_tpu.inference import patterns
     from empanada_tpu.inference.fused import FusedStackEngine
 
@@ -95,8 +95,7 @@ def run_inference3d(
     # the reference normalizes volume slices with the exported model's
     # norms (pdl_inference3d.py dataset transforms); skipping this feeds
     # raw intensities to a model trained on normalized inputs
-    tfs = Compose([Normalize(mean=norms["mean"], std=norms["std"])]) \
-        if norms else None
+    tfs = create_augmentations(None, norms=norms) if norms else None
 
     shape = tuple(volume.shape)
     axes = {"xy": 0} if mode == "stack" else {"xy": 0, "xz": 1, "yz": 2}

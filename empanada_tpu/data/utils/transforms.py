@@ -294,7 +294,11 @@ class GaussianBlur(_Transform):
 
 
 class Normalize(_Transform):
-    """(img / max_pixel_value - mean) / std -> float32, always applied."""
+    """(img / max_pixel_value - mean) / std -> float32, always applied.
+
+    Divides by max_pixel_value regardless of dtype (albumentations
+    semantics — float volumes holding 0-255 intensities scale the same
+    as uint8 ones)."""
 
     def __init__(self, mean=0.0, std=1.0, max_pixel_value=255.0, p=1.0):
         super().__init__(p)
@@ -303,9 +307,7 @@ class Normalize(_Transform):
         self.max_pixel_value = max_pixel_value
 
     def apply_image(self, image):
-        img = image.astype(np.float32)
-        if np.issubdtype(image.dtype, np.integer):
-            img = img / self.max_pixel_value
+        img = image.astype(np.float32) / self.max_pixel_value
         return (img - self.mean) / self.std
 
 

@@ -97,6 +97,8 @@ def _seg_to_rles(seg):
     shape = seg.shape
     flat = seg.reshape(-1)
     n = flat.size
+    if n == 0:
+        return {}
     w = shape[-1]
     change = np.empty(n, dtype=bool)
     change[0] = True

@@ -275,21 +275,18 @@ def merge_semantic_and_instance(
     Returns:
         pan: (H, W) int32 panoptic ids.
     """
-    h, w = sem.shape
     sem_f = sem.reshape(-1)
-    ins_f = ins.reshape(-1)
+    # mask instances to thing pixels exactly as _merge_from_counts will,
+    # so votes and painting share one mask definition
+    is_thing_px = thing_mask_table[sem_f]
+    ins_f = jnp.where(is_thing_px, ins.reshape(-1), 0)
+    vote_mask = ins_f > 0
 
-    is_thing_px = thing_mask_table[sem_f]          # semantic_thing_seg
-    thing_seg = ins_f > 0
-
-    # --- instance majority class vote ---------------------------------
     # counts[k, c] = #pixels with (ins==k, sem==c, vote_mask). A
     # scatter-add here serializes on TPU (colliding indices), so the
     # table is built via a sort-based histogram instead.
-    vote_mask = thing_seg & is_thing_px
     counts = _vote_count_table(
-        jnp.where(vote_mask, ins_f, 0), sem_f, vote_mask,
-        max_centers + 1, num_classes)
+        ins_f, sem_f, vote_mask, max_centers + 1, num_classes)
     return _merge_from_counts(
         sem, ins, counts, thing_mask_table, label_divisor, stuff_area,
         void_label, max_centers, num_classes)

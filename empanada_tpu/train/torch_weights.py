@@ -184,8 +184,13 @@ def convert_encoder_state_dict(sd, params, batch_stats):
                                lambda v: v.transpose(2, 3, 1, 0))
         elif leaf == "kernel" and p.ndim == 2:
             # flax Dense <- torch Conv1d(kernel_size=1): (out, in, 1)
-            new_p[path] = take("kernel1d", path, p.shape,
-                               lambda v: v[:, :, 0].T)
+            def _conv1d_to_dense(v):
+                if v.shape[2] != 1:
+                    raise ValueError(
+                        f"Conv1d kernel_size={v.shape[2]} cannot map to "
+                        "a Dense layer (only kernel_size=1 supported)")
+                return v[:, :, 0].T
+            new_p[path] = take("kernel1d", path, p.shape, _conv1d_to_dense)
         elif leaf == "scale" and in_bn:
             new_p[path] = take("scale", path, p.shape)
         elif leaf == "bias" and in_bn:
