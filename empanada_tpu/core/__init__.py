@@ -45,3 +45,23 @@ from empanada_tpu.core.ccl import (
     region_props_from_runs,
 )
 from empanada_tpu.core.fill import numpy_fill_instances, chunked_fill_instances
+
+
+def take(array, indices, axis=0):
+    """Take indices from an array-like along an axis (works for numpy,
+    zarr-store, and jax arrays; reference array_utils.py:6-23)."""
+    key = tuple(
+        slice(None) if n != axis else indices
+        for n in range(array.ndim)
+    )
+    return array[key]
+
+
+def put(array, indices, value, axis=0):
+    """Put values at indices along an axis, in place
+    (reference array_utils.py:25-42)."""
+    key = tuple(
+        slice(None) if n != axis else indices
+        for n in range(array.ndim)
+    )
+    array[key] = value
