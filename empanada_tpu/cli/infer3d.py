@@ -62,6 +62,8 @@ def parse_args(argv=None):
                              "(0 = single device)")
     parser.add_argument("--one-view", action="store_true")
     parser.add_argument("--fine-boundaries", action="store_true")
+    parser.add_argument("--use-cpu", action="store_true",
+                        help="Force inference on CPU (reference parity)")
     parser.add_argument("--save-panoptic", action="store_true")
     return parser.parse_args(argv)
 
@@ -186,6 +188,11 @@ def main(argv=None):
     args = parse_args(argv)
     assert math.log2(args.downsample_f).is_integer(), \
         "downsample factor must be a power of 2"
+
+    if args.use_cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     from empanada_tpu.utils.cache import enable_compilation_cache
 
