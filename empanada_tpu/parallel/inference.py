@@ -149,3 +149,9 @@ class SliceParallelEngine3d:
         for slice_out in self.queue.remaining():
             yield emitted, self._postprocess_one(slice_out, upsampling)
             emitted += 1
+
+
+# NOTE: for production multi-chip throughput prefer
+# inference.fused.FusedStackEngine(mesh=...) — one fused dispatch and one
+# packed D2H per block. SliceParallelEngine3d keeps the reference's
+# engine-per-slice surface (useful for debugging / API parity).
