@@ -107,10 +107,10 @@ def main():
 
     run_pass()  # warmup: compiles the block function
 
-    # two timed passes, keep the best: the shared-tunnel runtime adds
+    # three timed passes, keep the best: the shared-tunnel runtime adds
     # ~±15% run-to-run noise that a single sample conflates with code
     best = None
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
         rle_stack = run_pass()
         elapsed = time.perf_counter() - t0
