@@ -82,3 +82,28 @@ class TestExport:
                                        quantized=True)
         out = model(np.zeros((1, 32, 32, 1), np.float32), 2, True)
         assert np.isfinite(np.asarray(out["sem_logits"])).all()
+
+    def test_stablehlo_roundtrip(self, tmp_path, tiny_variables):
+        """The serialized StableHLO artifact must reproduce the model's
+        eval forward exactly when deserialized and called."""
+        from jax import export as jax_export
+
+        from empanada_tpu.models import create_model
+
+        export_model(
+            tiny_variables, MODEL_CONFIG, str(tmp_path), "h",
+            thing_list=[1], labels=[1], stablehlo=True,
+            input_shape=(1, 32, 32, 1))
+        with open(tmp_path / "h.stablehlo", "rb") as f:
+            exported = jax_export.deserialize(f.read())
+
+        x = np.random.default_rng(0).normal(
+            0, 1, (1, 32, 32, 1)).astype(np.float32)
+        out = exported.call(x)
+        cfg = dict(MODEL_CONFIG)
+        model = create_model(cfg.pop("arch"), **cfg)
+        ref = model.apply(tiny_variables, x, train=False, render_steps=2,
+                          interpolate_ins=False)
+        for k in ref:
+            d = float(np.abs(np.asarray(out[k]) - np.asarray(ref[k])).max())
+            assert d < 1e-5, (k, d)
