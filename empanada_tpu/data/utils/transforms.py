@@ -89,14 +89,33 @@ class _Transform:
 
 
 class Compose:
+    """Applies transforms with per-thread RNGs: the DataLoader builds
+    examples on a thread pool and numpy Generators are not thread-safe,
+    so each worker thread draws from its own spawned stream."""
+
     def __init__(self, transforms, seed=None):
+        import threading
+
         self.transforms = transforms
-        self.rng = np.random.default_rng(seed)
+        self._seed_seq = np.random.SeedSequence(seed)
+        self._local = threading.local()
+        self._lock = threading.Lock()
+
+    @property
+    def rng(self):
+        rng = getattr(self._local, "rng", None)
+        if rng is None:
+            with self._lock:
+                child = self._seed_seq.spawn(1)[0]
+            rng = np.random.default_rng(child)
+            self._local.rng = rng
+        return rng
 
     def __call__(self, image, mask=None, **kwargs):
+        rng = self.rng
         out = {"image": image, "mask": mask}
         for t in self.transforms:
-            out = t(self.rng, out)
+            out = t(rng, out)
         if mask is None:
             out.pop("mask")
         return out
