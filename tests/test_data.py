@@ -250,3 +250,30 @@ class TestZarrStore:
             chunked_fill_instances(z, instances, processes=2)
             np.testing.assert_array_equal(
                 np.asarray(z), dense, err_msg=f"chunks={chunks}")
+
+
+class TestComposeThreadSafety:
+    def test_parallel_draws(self):
+        """Loader worker threads must get independent RNG streams
+        (numpy Generators are not thread-safe)."""
+        import threading
+
+        from empanada_tpu.data.utils.transforms import Compose, RandomCrop
+
+        tfs = Compose([RandomCrop(8, 8)], seed=0)
+        img = np.arange(400, dtype=np.uint8).reshape(20, 20)
+        results = [[] for _ in range(8)]
+
+        def work(i):
+            for _ in range(50):
+                results[i].append(int(tfs(image=img)["image"].sum()))
+
+        threads = [threading.Thread(target=work, args=(i,))
+                   for i in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert sum(len(r) for r in results) == 400
+        # streams differ across threads (no lock-step duplication)
+        assert len({tuple(r) for r in results}) > 1
