@@ -91,7 +91,12 @@ class _Transform:
 class Compose:
     """Applies transforms with per-thread RNGs: the DataLoader builds
     examples on a thread pool and numpy Generators are not thread-safe,
-    so each worker thread draws from its own spawned stream."""
+    so each worker thread draws from its own spawned stream.
+
+    Note: which stream serves a given example depends on thread
+    scheduling, so augmentations are seeded-but-not-bitwise-reproducible
+    with num_workers > 1 (same property as the reference's torch
+    DataLoader + albumentations workers)."""
 
     def __init__(self, transforms, seed=None):
         import threading

@@ -225,3 +225,15 @@ class TestFill:
         store = np.zeros_like(vol)
         chunked_fill_instances(store, instances, chunks=chunks)
         assert np.array_equal(store, dense)
+
+
+def test_take_put_helpers():
+    import numpy as np
+
+    from empanada_tpu.core import put, take
+
+    a = np.arange(24).reshape(2, 3, 4)
+    np.testing.assert_array_equal(take(a, 1, axis=1), a[:, 1])
+    np.testing.assert_array_equal(take(a, [0, 2], axis=2), a[:, :, [0, 2]])
+    put(a, 0, 99, axis=2)
+    assert (a[:, :, 0] == 99).all()

@@ -5,7 +5,6 @@ detection edge case."""
 
 import jax.numpy as jnp
 import numpy as np
-import pytest
 from numpy.testing import assert_almost_equal
 
 from empanada_tpu.metrics import IoU, PQ, F1, AverageMeter
@@ -16,10 +15,7 @@ def sem_binary():
     gt = np.zeros((1, 128, 128), np.float32)
     gt[:, :64] = 1
     logits = np.full((1, 128, 128, 1), -10.0, np.float32)
-    logits[:, 32:96] = 10.0  # predicts rows 32..96: intersection 32 rows
-    # iou = 32 / (64 + 64 - 32) = 1/3... construct exactly 0.5 instead:
-    logits[:] = -10.0
-    logits[:, :32] = 10.0  # predict half of gt only: iou = 32/64 = 0.5
+    logits[:, :32] = 10.0  # predict half of gt: iou = 32/64 = 0.5
     return {"sem_logits": jnp.asarray(logits)}, {"sem": jnp.asarray(gt)}
 
 
@@ -56,6 +52,6 @@ def test_pq_and_f1_edge():
     # at iou_thr 0.4 the 15/32 overlap (iou ~0.469) becomes a TP
     f1 = F1(AverageMeter, [2], 1000, iou_thr=0.4).calculate(pred, gt)
     assert_almost_equal(float(f1[2]), 1.0, decimal=3)
-    # at 0.5 it fails -> f1 = 1/(1+0.5+0.5) wait: tp=1, fp=1, fn=1 -> 0.5
+    # at 0.5 the match fails: tp=1, fp=1, fn=1 -> f1 = 0.5
     f1_50 = F1(AverageMeter, [2], 1000, iou_thr=0.5).calculate(pred, gt)
     assert_almost_equal(float(f1_50[2]), 0.5, decimal=3)
