@@ -67,6 +67,16 @@ def main(argv=None):
     results = default_evaluator()(args.gt_json, pred_json)
     for name, value in results.items():
         print(f"{name}: {float(value):.4f}")
+
+    # log results back to the model's training run (reference
+    # evaluate3d.py:217-228 mlflow re-attachment)
+    if desc.get("run_id"):
+        from empanada_tpu.utils.logging import ExperimentLogger
+
+        logger = ExperimentLogger(run_id=desc["run_id"])
+        logger.log_metrics({f"eval3d_{k}": float(v)
+                            for k, v in results.items()})
+        logger.end()
     return results
 
 

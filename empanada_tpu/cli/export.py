@@ -67,6 +67,7 @@ def main(argv=None):
         finetune_params=finetune_params,
         stablehlo=args.stablehlo,
         quantize=args.quantize,
+        run_id=meta.get("run_id"),
     )
     print(f"Exported {name} -> {args.save_dir} "
           f"({', '.join(k for k in desc if k.startswith('model'))})")

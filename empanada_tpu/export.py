@@ -88,7 +88,7 @@ def load_params(path, target=None):
 def export_model(variables, model_config, save_dir, name,
                  norms=None, padding_factor=128, thing_list=(1,),
                  labels=(1,), class_names=None, finetune_params=None,
-                 stablehlo=False, quantize=False,
+                 stablehlo=False, quantize=False, run_id=None,
                  input_shape=(1, 512, 512, 1)):
     """Write <name>.params.msgpack + <name>.yaml (+ <name>.stablehlo,
     + <name>.int8.msgpack when quantize=True).
@@ -108,6 +108,7 @@ def export_model(variables, model_config, save_dir, name,
         "labels": list(labels),
         "class_names": dict(class_names or {l: str(l) for l in labels}),
         "FINETUNE": finetune_params or {},
+        "run_id": run_id,  # training run for eval-result back-logging
     }
 
     if quantize:
