@@ -33,6 +33,21 @@ class TestShardBatch:
         assert len(sharded["image"].sharding.device_set) == 8
 
 
+class TestDataParallelSemantics:
+    def test_dp8_matches_single_device_step(self):
+        """One jitted train step on the 8-device mesh vs the same step
+        single-device at equal global batch: loss, gradients (rel L2),
+        SyncBN batch_stats, and post-AdamW params must agree (DDP
+        semantics, reference scripts/train.py:193-206). Exercises the
+        exact assertions the driver's dryrun_multichip runs."""
+        import sys
+
+        sys.path.insert(0, ".")
+        import __graft_entry__ as graft
+
+        graft._dryrun_impl(8)
+
+
 class TestSliceParallel:
     def test_matches_single_device_engine(self, small_model):
         model, variables = small_model
