@@ -85,6 +85,11 @@ class TestSliceParallel:
         want.extend(np.asarray(p) for p in ref_engine.end())
 
         assert len(want) == D
+        # exact: the batched sharded forward is bitwise equal to the
+        # single-slice forward (eval mode has no cross-batch reductions,
+        # so batching cannot reassociate per-slice math), and the
+        # postprocess is integer. Verified: max |sem_batched - sem_single|
+        # == 0.0 on the 8-device mesh.
         for i in range(D):
-            agree = (got[i] == want[i]).mean()
-            assert agree > 0.995, (i, agree)
+            assert np.array_equal(got[i], want[i]), \
+                (i, float((got[i] == want[i]).mean()))
