@@ -85,7 +85,6 @@ def run_inference3d(
     dispatch per ``block_size`` slices, optionally sharded over ``mesh``.
     """
     from empanada_tpu.data import VolumeDataset
-    from empanada_tpu.data.utils.transforms import create_augmentations
     from empanada_tpu.inference import patterns
     from empanada_tpu.inference.fused import FusedStackEngine
 
@@ -95,9 +94,11 @@ def run_inference3d(
         module, variables = model.module, model.params
 
     # the reference normalizes volume slices with the exported model's
-    # norms (pdl_inference3d.py dataset transforms); skipping this feeds
-    # raw intensities to a model trained on normalized inputs
-    tfs = create_augmentations(None, norms=norms) if norms else None
+    # norms (pdl_inference3d.py dataset transforms); we apply the same
+    # Normalize formula ON DEVICE (fused.py device_norms) so uint8
+    # volumes upload 4x smaller — host<->device bytes are the deployment
+    # bottleneck (docs/performance.md)
+    tfs = None
 
     shape = tuple(volume.shape)
     axes = {"xy": 0} if mode == "stack" else {"xy": 0, "xz": 1, "yz": 2}
@@ -121,6 +122,7 @@ def run_inference3d(
             max_centers=max_centers,
             stuff_area=0,
             mesh=mesh,
+            device_norms=norms,
         )
         matchers = patterns.create_matchers(
             thing_list, label_divisor, iou_thr, ioa_thr)

@@ -17,13 +17,26 @@ jitted block function over B slices:
   vmapped over the block, so only (B, max_runs) int32 buffers leave the
   device.
 
+Transfer discipline (measured, docs/performance.md): host<->device moves
+through this deployment's tunnel are the wall, so
+
+- images upload in their NATIVE dtype (uint8 EM volumes stay uint8 — 4x
+  fewer bytes) and are normalized ON DEVICE when ``device_norms`` is set,
+  with the exact Normalize formula ((x/255 - mean)/std, transforms.py:334)
+  and the factor-pad ring re-zeroed to match pad-after-normalize;
+- buffers cross flat (1D) and are reshaped on device/host — tiny trailing
+  dims ((B,H,W,1), (B,R,3)) can hit tiled-layout padding blowup;
+- up to ``pipeline_depth`` blocks stay in flight: dispatch k+1..k+depth
+  before block k's packed transfer is consumed, with
+  ``copy_to_host_async`` started at dispatch time.
+
 Host code drives blocks and hands (pan, runs) to the matcher thread.
 """
 
 from __future__ import annotations
 
 import math
-from functools import partial
+from collections import deque
 
 import jax
 import jax.numpy as jnp
@@ -51,6 +64,12 @@ class FusedStackEngine:
     block — packed is the single int32 run buffer the ForwardMatcher
     consumes with ONE device-to-host transfer per block.
     ``infer_stack(dataset)`` is the per-slice generator view.
+
+    ``device_norms=(mean, std)``: normalize on device; feed the engine
+    RAW (un-normalized) slices — uint8 volumes upload 4x smaller.
+    ``pipeline_depth``: blocks kept in flight past the consumer (>=1
+    overlaps the consumer's D2H + host matching with device compute and
+    the next uploads; 0 reproduces strict lockstep).
     """
 
     def __init__(self, module, variables, thing_list, block_size=8,
@@ -58,7 +77,8 @@ class FusedStackEngine:
                  nms_threshold=0.1, nms_kernel=7, confidence_thr=0.5,
                  median_kernel_size=3, padding_factor=128,
                  coarse_boundaries=True, max_centers=256,
-                 num_classes=None, max_runs=None, mesh=None):
+                 num_classes=None, max_runs=None, mesh=None,
+                 device_norms=None, pipeline_depth=2):
         assert median_kernel_size % 2 == 1
         self.module = module
         self.thing_list = list(thing_list)
@@ -75,8 +95,11 @@ class FusedStackEngine:
         self.coarse_boundaries = coarse_boundaries
         self.max_centers = max_centers
         self.max_runs = max_runs
+        self.device_norms = device_norms
+        self.pipeline_depth = int(pipeline_depth)
         self._num_classes = num_classes
-        self._block_fns = {}  # keyed by (render_steps, upsampling, crop)
+        self._block_fns = {}  # keyed by (render_steps, upsampling, crop, ...)
+        self._abstract_args = None  # ShapeDtypeStructs of the last dispatch
 
         self._mesh = mesh
         if mesh is not None:
@@ -98,17 +121,40 @@ class FusedStackEngine:
     # -----------------------------------------------------------------
 
     def _build(self, num_classes, render_steps, upsampling, max_runs,
-               crop):
+               crop, pad_shape):
         module = self.module
         B, ks, mid = self.block_size, self.ks, self.mid
         step = 4 if self.coarse_boundaries else 1
         scale = step * upsampling  # cells grid -> sem resolution
         oh, ow = crop  # original slice shape; run extraction must use it
         # (reference crops before any host work, engines.py:392)
+        ph, pw = pad_shape  # factor-padded input shape
         table = np.zeros((num_classes,), bool)
         for t in self.thing_list:
             table[t] = True
         thing_table = jnp.asarray(table)
+
+        norms = self.device_norms
+        if norms is not None:
+            mean = float(norms["mean"] if isinstance(norms, dict)
+                         else norms[0])
+            std = float(norms["std"] if isinstance(norms, dict)
+                        else norms[1])
+            # pad-after-normalize parity: the host path normalizes first
+            # and THEN factor-pads with zeros; on device the valid region
+            # is the (downscaled) slice shape, the ring must re-zero
+            ny = -(-oh // upsampling)
+            nx = -(-ow // upsampling)
+            if ny < ph or nx < pw:
+                ring = np.zeros((ph, pw, 1), np.float32)
+                ring[:min(ny, ph), :min(nx, pw)] = 1.0
+                pad_mask = jnp.asarray(ring)
+            else:
+                pad_mask = None
+
+        # flat transfers only on the single-device path: resharding a
+        # flattened batch axis is not worth it on real meshes
+        flat_io = self._mesh is None
 
         def postprocess_one(sem_prob, ctr, off):
             centers, valid = find_instance_centers(
@@ -141,8 +187,15 @@ class FusedStackEngine:
 
         def block_fn(variables, carry_sem, carry_ctr, carry_off,
                      images, use_median):
+            if flat_io:
+                images = images.reshape(B, ph, pw, 1)
+            x = images.astype(jnp.float32)
+            if norms is not None:
+                x = (x / 255.0 - mean) / std
+                if pad_mask is not None:
+                    x = x * pad_mask
             out = module.apply(
-                variables, images, train=False, render_steps=render_steps,
+                variables, x, train=False, render_steps=render_steps,
                 interpolate_ins=not self.coarse_boundaries)
             sem = logits_to_prob(out["sem_logits"])      # (B, H, W, C)
             ctr = out["ctr_hmp"]                          # (B, h4, w4, 1)
@@ -169,6 +222,8 @@ class FusedStackEngine:
                 else allsem[:0]
             new_carry_ctr = allctr[-mid:] if mid > 0 else allctr[:0]
             new_carry_off = alloff[-mid:] if mid > 0 else alloff[:0]
+            if flat_io:
+                packed = packed.reshape(-1)
             return (new_carry_sem, new_carry_ctr, new_carry_off,
                     pan, packed)
 
@@ -190,12 +245,26 @@ class FusedStackEngine:
 
     # -----------------------------------------------------------------
 
+    def block_cost_analysis(self):
+        """XLA cost analysis (flops, bytes) of the compiled block
+        function — for MFU reporting. Available after the first
+        dispatch; returns None if unavailable."""
+        if self._abstract_args is None:
+            return None
+        try:
+            lowered = self._block_fn.lower(*self._abstract_args)
+            return lowered.compile().cost_analysis()
+        except Exception:
+            return None
+
     def infer_stack(self, dataset, upsampling=1):
         """Per-slice view: yields (z, pan_slice, (starts, ends, values,
         n_runs)) — convenience for tests/small volumes; prefer
         infer_blocks + ForwardMatcher.put_block on real devices."""
         for z_indices, pan, packed in self.infer_blocks(dataset, upsampling):
             arr = np.asarray(packed)
+            if arr.ndim == 1:
+                arr = arr.reshape(len(z_indices), -1, 3)
             for j, z in enumerate(z_indices):
                 if z is None:
                     continue
@@ -212,7 +281,9 @@ class FusedStackEngine:
         n = len(dataset)
 
         ex0 = dataset[0]
-        img0 = np.asarray(ex0["image"], np.float32)
+        img0 = np.asarray(ex0["image"])
+        if self.device_norms is None and img0.dtype != np.float32:
+            img0 = img0.astype(np.float32)
         ph = (-img0.shape[0]) % self.padding_factor + img0.shape[0]
         pw = (-img0.shape[1]) % self.padding_factor + img0.shape[1]
         H, W = ph * upsampling, pw * upsampling  # sem resolution
@@ -220,15 +291,18 @@ class FusedStackEngine:
             self._num_classes = max(
                 int(getattr(self.module, "num_classes", 1)),
                 (max(self.thing_list) + 1) if self.thing_list else 1, 2)
-        # D2H is bandwidth-cheap for the single packed block transfer, so
-        # budget generously: overflow (dense fallback) is the expensive case
-        max_runs = self.max_runs or max(8192, 32 * H)
+        # D2H bandwidth through the tunnel is ~30x scarcer than H2D
+        # (docs/performance.md), so the packed budget is tight: 8 runs per
+        # output row covers realistic EM content; an overflowing slice
+        # falls back to pulling its dense pan plane (1 well-laid-out MB)
+        max_runs = self.max_runs or max(4096, 8 * H)
 
-        fn_key = (render_steps, upsampling, tuple(ex0["size"]), max_runs)
+        fn_key = (render_steps, upsampling, tuple(ex0["size"]), max_runs,
+                  (ph, pw), img0.dtype.str)
         if fn_key not in self._block_fns:
             self._block_fns[fn_key] = self._build(
                 self._num_classes, render_steps, upsampling, max_runs,
-                tuple(ex0["size"]))
+                tuple(ex0["size"]), (ph, pw))
         self._block_fn = self._block_fns[fn_key]
 
         # sem channel count: 1 for binary models, C for multiclass
@@ -244,6 +318,7 @@ class FusedStackEngine:
         # emit z = block_start + j - mid; cover z in [0, n): block starts
         # range over [0, n + mid) so the tail flushes
         block_starts = list(range(0, n + mid, B))
+        flat_io = self._mesh is None
 
         def load_block(block_start):
             """Read + pad one block of slices (runs on a prefetch
@@ -255,7 +330,10 @@ class FusedStackEngine:
                 src = block_start + j
                 if src < n:
                     ex = dataset[src] if src != 0 else ex0
-                    img = np.asarray(ex["image"], np.float32)[..., None]
+                    img = np.asarray(ex["image"])[..., None]
+                    if self.device_norms is None \
+                            and img.dtype != np.float32:
+                        img = img.astype(np.float32)
                 else:
                     ex = None
                     img = np.zeros_like(img0)[..., None]
@@ -264,25 +342,47 @@ class FusedStackEngine:
                 use_median.append(mid <= z < n - mid)
             batch = np.stack(images)
             batch, _ = factor_pad(batch, self.padding_factor)
-            return np.asarray(batch), np.asarray(use_median)
+            batch = np.asarray(batch)
+            if flat_io:
+                batch = np.ascontiguousarray(batch).reshape(-1)
+            return batch, np.asarray(use_median)
 
         from concurrent.futures import ThreadPoolExecutor
 
+        depth = max(self.pipeline_depth, 0)
         pool = ThreadPoolExecutor(max_workers=1)
-        next_fut = pool.submit(load_block, block_starts[0])
+        load_futs = {}
+        n_blocks = len(block_starts)
+        prefetch = depth + 2
 
+        def ensure_loads(upto):
+            for k in range(upto):
+                if k < n_blocks and k not in load_futs:
+                    load_futs[k] = pool.submit(load_block, block_starts[k])
+
+        ensure_loads(prefetch)
+
+        inflight = deque()
         for bi, block_start in enumerate(block_starts):
-            batch, use_median = next_fut.result()
-            if bi + 1 < len(block_starts) \
-                    and block_start + B - mid < n:
-                next_fut = pool.submit(load_block, block_starts[bi + 1])
+            batch, use_median = load_futs.pop(bi).result()
+            ensure_loads(bi + 1 + prefetch)
             if self._image_sharding is not None:
                 batch = jax.device_put(batch, self._image_sharding)
             um = jnp.asarray(use_median)
 
+            batch = jnp.asarray(batch)
+            if self._abstract_args is None:
+                self._abstract_args = jax.tree_util.tree_map(
+                    lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
+                    (self.variables, carry_sem, carry_ctr, carry_off,
+                     batch, um))
             (carry_sem, carry_ctr, carry_off, pan, packed) = self._block_fn(
                 self.variables, carry_sem, carry_ctr, carry_off,
-                jnp.asarray(batch), um)
+                batch, um)
+            try:
+                packed.copy_to_host_async()
+            except Exception:
+                pass
 
             # map block rows -> z indices (None = padding rows); the full
             # (B, ...) arrays are yielded unsliced so the consumer's D2H
@@ -295,7 +395,11 @@ class FusedStackEngine:
             # pan is already cropped to the original slice shape inside
             # the block fn (so the device-extracted runs ravel with the
             # true width)
-            yield z_indices, pan, packed
+            inflight.append((z_indices, pan, packed))
+            while len(inflight) > depth:
+                yield inflight.popleft()
             if block_start + B - mid >= n:
                 break
+        while inflight:
+            yield inflight.popleft()
         pool.shutdown(wait=False)

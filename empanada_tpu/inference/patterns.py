@@ -124,6 +124,8 @@ class ForwardMatcher:
 
     def _decode_block(self, z_indices, pan_block, packed):
         arr = np.asarray(packed)  # ONE D2H for the whole block
+        if arr.ndim == 1:  # flat transfer (fused.py flat_io)
+            arr = arr.reshape(len(z_indices), -1, 3)
         shape = tuple(pan_block.shape[-2:])
         max_runs = arr.shape[1] - 1
         for j, z in enumerate(z_indices):

@@ -119,6 +119,71 @@ def test_shallow_volume_orthoplane_axes(model_and_vol):
         assert len(out) == vol.shape[axis]
 
 
+def test_device_norms_matches_host_normalize(model_and_vol):
+    """uint8 upload + on-device Normalize must reproduce the host
+    Normalize path: (x/255 - mean)/std in f32 on both sides
+    (transforms.py:334), pad ring re-zeroed."""
+    from empanada_tpu.data.utils.transforms import Normalize
+
+    model, variables, _ = model_and_vol
+    rng = np.random.default_rng(11)
+    D, H, W = 6, 30, 27  # non-multiples: pad ring present
+    vol_u8 = rng.integers(0, 255, (D, H, W), dtype=np.uint8)
+    zz, yy, xx = np.mgrid[:D, :H, :W]
+    vol_u8[((zz - 3) ** 2 * 9 + (yy - 15) ** 2 + (xx - 13) ** 2) < 60] = 250
+
+    mean, std = 0.5, 0.2
+    norm = Normalize(mean=mean, std=std)
+
+    class RawDS:
+        def __len__(self):
+            return D
+
+        def __getitem__(self, i):
+            return {"index": i, "image": vol_u8[i], "size": (H, W)}
+
+    class HostNormDS:
+        def __len__(self):
+            return D
+
+        def __getitem__(self, i):
+            return {"index": i, "image": norm.apply_image(vol_u8[i]),
+                    "size": (H, W)}
+
+    kwargs = dict(thing_list=[1], label_divisor=100, stuff_area=0,
+                  median_kernel_size=3, padding_factor=16, max_centers=64,
+                  block_size=4)
+    host_eng = FusedStackEngine(model, variables, **kwargs)
+    dev_eng = FusedStackEngine(model, variables,
+                               device_norms={"mean": mean, "std": std},
+                               **kwargs)
+    got_host = {z: np.asarray(p) for z, p, _ in
+                host_eng.infer_stack(HostNormDS())}
+    got_dev = {z: np.asarray(p) for z, p, _ in
+               dev_eng.infer_stack(RawDS())}
+    assert sorted(got_host) == sorted(got_dev) == list(range(D))
+    for z in range(D):
+        agree = (got_host[z] == got_dev[z]).mean()
+        assert agree == 1.0, (z, agree)
+
+
+def test_pipeline_depth_invariance(model_and_vol):
+    """Emitted maps must not depend on how many blocks stay in flight."""
+    model, variables, vol = model_and_vol
+    kwargs = dict(thing_list=[1], label_divisor=100, stuff_area=0,
+                  median_kernel_size=3, padding_factor=16, max_centers=64,
+                  block_size=4)
+    ref = {z: np.asarray(p) for z, p, _ in FusedStackEngine(
+        model, variables, pipeline_depth=0, **kwargs).infer_stack(_DS(vol))}
+    for depth in (1, 3):
+        got = {z: np.asarray(p) for z, p, _ in FusedStackEngine(
+            model, variables, pipeline_depth=depth,
+            **kwargs).infer_stack(_DS(vol))}
+        assert sorted(got) == sorted(ref)
+        for z in ref:
+            assert np.array_equal(got[z], ref[z]), (depth, z)
+
+
 def test_matcher_worker_error_propagates():
     """A poisoned item must surface the worker exception instead of
     deadlocking the bounded queue (regression)."""

@@ -48,6 +48,50 @@ class TestDataParallelSemantics:
         graft._dryrun_impl(8)
 
 
+class TestMeshFusedEngine:
+    def test_mesh_fused_matches_single_device_exactly(self, small_model):
+        """THE production multi-chip inference path: FusedStackEngine
+        with a mesh (batch sharded, params + median carries replicated)
+        must emit exactly the single-device fused engine's panoptic maps
+        and run buffers, across block boundaries (D=19 with block 8 ->
+        carries cross 3 block edges). Carries stay replicated by design:
+        the window axis (ks-1=2) is smaller than any mesh and the bytes
+        are negligible; replication is semantically exact.
+        Reference intent: scripts/inference3d_multigpu.py:276-379."""
+        from empanada_tpu.inference.fused import FusedStackEngine
+
+        model, variables = small_model
+        mesh = create_mesh(8)
+
+        rng = np.random.default_rng(1)
+        D, H, W = 19, 32, 32
+        vol = rng.normal(0, 0.1, (D, H, W)).astype(np.float32)
+        zz, yy, xx = np.mgrid[:D, :H, :W]
+        vol[((zz - 9) ** 2 * 4 + (yy - 16) ** 2 + (xx - 16) ** 2) < 80] += 2
+
+        class DS:
+            def __len__(self):
+                return D
+
+            def __getitem__(self, i):
+                return {"index": i, "image": vol[i], "size": (H, W)}
+
+        kwargs = dict(thing_list=[1], label_divisor=100, stuff_area=0,
+                      median_kernel_size=3, padding_factor=16,
+                      max_centers=64, block_size=8)
+        single = FusedStackEngine(model, variables, **kwargs)
+        meshed = FusedStackEngine(model, variables, mesh=mesh, **kwargs)
+
+        got_s = {z: (np.asarray(p), np.asarray(r[0][:int(r[3])]))
+                 for z, p, r in single.infer_stack(DS())}
+        got_m = {z: (np.asarray(p), np.asarray(r[0][:int(r[3])]))
+                 for z, p, r in meshed.infer_stack(DS())}
+        assert sorted(got_s) == sorted(got_m) == list(range(D))
+        for z in range(D):
+            assert np.array_equal(got_s[z][0], got_m[z][0]), z
+            assert np.array_equal(got_s[z][1], got_m[z][1]), z
+
+
 class TestSliceParallel:
     def test_matches_single_device_engine(self, small_model):
         model, variables = small_model

@@ -1,0 +1,96 @@
+"""Measure the reference pipeline's throughput on this host CPU.
+
+Runs the ACTUAL reference implementation (/root/reference, imported, not
+copied): MitoNet-class PanopticBiFPNPR (regnety_6p4gf) through the
+reference's own PanopticDeepLabRenderEngine3d (forward + median queue +
+center NMS + pixel grouping + panoptic merge) per 512x512 slice, exactly
+the per-slice work of scripts/pdl_inference3d.py.
+
+This is the measured anchor behind bench.py's vs_baseline denominator —
+see BASELINE.md "Measured reference throughput" for the CPU->GPU
+extrapolation chain.
+
+Run: python tools/measure_baseline.py [n_slices]
+"""
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/reference")
+
+import numpy as np
+import torch
+
+torch.set_grad_enabled(False)
+
+from empanada.inference.engines import (  # noqa: E402
+    PanopticDeepLabRenderEngine3d,
+)
+from empanada.models.quantization.panoptic_bifpn import (  # noqa: E402
+    QuantizablePanopticBiFPNPR,
+)
+
+
+def main():
+    n_slices = int(sys.argv[1]) if len(sys.argv) > 1 else 6
+    H = W = 512
+
+    # the deployed fp32 model family (scripts/export_model.py:113 builds
+    # Quantizable* with quantize=False and torchscripts it)
+    model = QuantizablePanopticBiFPNPR(
+        encoder="regnety_6p4gf", num_classes=1, quantize=False)
+    model.eval()
+
+    # decisively-biased heads, mirroring bench.py: deterministic sparse
+    # foreground so postprocess cost is content-independent
+    with torch.no_grad():
+        for name, mod in model.named_modules():
+            if hasattr(mod, "bias") and mod.bias is not None \
+                    and getattr(mod.bias, "shape", (0,))[0] == 1:
+                if "semantic" in name or "sem" in name:
+                    mod.bias -= 2.5
+                elif "ins_center" in name:
+                    mod.bias -= 5.0
+
+    engine = PanopticDeepLabRenderEngine3d(
+        model, thing_list=[1], label_divisor=1000, stuff_area=64,
+        median_kernel_size=3, nms_kernel=7, padding_factor=128,
+        coarse_boundaries=True)
+
+    rng = np.random.default_rng(0)
+    vol = rng.normal(0.5, 0.1, (n_slices, H, W)).astype(np.float32)
+    yy, xx = np.mgrid[:H, :W]
+    for cy, cx, r in [(128, 128, 60), (300, 380, 90), (420, 100, 40)]:
+        disk = (yy - cy) ** 2 + (xx - cx) ** 2 <= r * r
+        vol[:, disk] -= 0.3
+
+    # warmup one slice (allocations, conv algo selection)
+    image = torch.from_numpy(vol[0])[None, None]
+    engine(image, (H, W))
+
+    t0 = time.perf_counter()
+    count = 0
+    for z in range(n_slices):
+        image = torch.from_numpy(vol[z])[None, None]
+        pan = engine(image, (H, W))
+        if pan is not None:
+            count += 1
+    for pan in engine.end():
+        count += 1
+    elapsed = time.perf_counter() - t0
+    assert count == n_slices, (count, n_slices)
+
+    result = {
+        "metric": "reference_cpu_slice_throughput",
+        "value": round(n_slices / elapsed, 4),
+        "unit": "slices/s",
+        "n_slices": n_slices,
+        "torch_threads": torch.get_num_threads(),
+        "host_cpus": __import__("os").cpu_count(),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
