@@ -8,10 +8,13 @@ The TorchScript artifact maps to two TPU-native formats:
 - optional ``jax.export`` StableHLO artifact for serving without Python
   model code.
 
-The reference's INT8 fbgemm path is CPU-deployment specific; on TPU the
-same models run in bf16 via the dtype policy (descriptor key ``dtype``),
-and the Quantizable* arch aliases resolve to the same modules
-(models/__init__.py).
+The reference's INT8 fbgemm path (export_model.py:137-163) maps to an
+*executing* int8 artifact: per-channel int8 kernels + calibrated per-tensor
+activation scales, run through models/quantization.py's interceptor so
+convs/matmuls compute in int8 on the MXU (``export_model(quantize=True,
+calibration_data=...)`` -> ``load_exported_model(quantized=True)``).
+Without calibration data, quantize=True degrades to weight-only storage
+(dequantized to fp32 on load).
 """
 
 from __future__ import annotations
@@ -88,10 +91,17 @@ def load_params(path, target=None):
 def export_model(variables, model_config, save_dir, name,
                  norms=None, padding_factor=128, thing_list=(1,),
                  labels=(1,), class_names=None, finetune_params=None,
-                 stablehlo=False, quantize=False, run_id=None,
-                 input_shape=(1, 512, 512, 1)):
+                 stablehlo=False, quantize=False, calibration_data=None,
+                 run_id=None, input_shape=(1, 512, 512, 1)):
     """Write <name>.params.msgpack + <name>.yaml (+ <name>.stablehlo,
     + <name>.int8.msgpack when quantize=True).
+
+    ``calibration_data``: iterable of example input arrays (normalized,
+    NHWC) used to calibrate int8 activation scales — the analog of the
+    reference's fbgemm observer calibration over sample images
+    (export_model.py:150-156). With it, the int8 artifact EXECUTES in
+    int8 when loaded with quantized=True; without it the artifact is
+    weight-only (dequantized on load).
 
     Returns the descriptor dict (also written to YAML)."""
     os.makedirs(save_dir, exist_ok=True)
@@ -115,6 +125,16 @@ def export_model(variables, model_config, save_dir, name,
         q_path = os.path.join(save_dir, f"{name}.int8.msgpack")
         save_params(q_path, quantize_variables_int8(variables))
         desc["model_quantized"] = q_path
+        if calibration_data is not None:
+            from empanada_tpu.models.quantization import (
+                calibrate_activations)
+
+            cfg = dict(model_config)
+            model = create_model(cfg.pop("arch"), **cfg)
+            desc["act_scales"] = calibrate_activations(
+                model, variables, calibration_data,
+                apply_kwargs={"train": False, "render_steps": 2,
+                              "interpolate_ins": False})
 
     if stablehlo:
         hlo_path = os.path.join(save_dir, f"{name}.stablehlo")
@@ -148,7 +168,10 @@ def load_exported_model(descriptor_path, quantized=False):
     """Descriptor YAML -> (JittedModel, descriptor dict). The analog of
     torch.jit.load on the reference's exported model
     (reference pdl_inference3d.py:69-74). quantized=True loads the int8
-    artifact (dequantized to fp32 on load)."""
+    artifact: when the descriptor carries calibrated ``act_scales`` the
+    returned model EXECUTES int8 convs/matmuls (models/quantization.py —
+    the analog of loading the reference's converted fbgemm model);
+    otherwise the weights are dequantized to fp32 on load."""
     from empanada_tpu.inference.engines import JittedModel
 
     with open(descriptor_path) as f:
@@ -165,5 +188,11 @@ def load_exported_model(descriptor_path, quantized=False):
                                    os.path.basename(params_path))
     variables = load_params(params_path)
     if quantized:
+        act_scales = desc.get("act_scales")
+        if act_scales:
+            from empanada_tpu.models.quantization import Int8Module
+
+            return JittedModel(Int8Module(model, act_scales),
+                               variables), desc
         variables = dequantize_variables_int8(variables)
     return JittedModel(model, variables), desc

@@ -20,9 +20,10 @@ MODELS = {
     "PanopticBiFPN": PanopticBiFPN,
     "PanopticBiFPNPR": PanopticBiFPNPR,
     # quantizable aliases: the reference keeps a parallel "Quantizable*"
-    # model tree for CPU int8 export (models/quantization/*); on TPU the
-    # same modules run in bf16/int8 via dtype policy, so aliases suffice
-    # for config compatibility.
+    # model tree for CPU int8 export (models/quantization/*); here ANY
+    # registry model quantizes to executing int8 via the model-agnostic
+    # interceptor (models/quantization.py), so the aliases resolve to the
+    # same modules — config compatibility without a duplicate tree.
     "QuantizablePanopticDeepLab": PanopticDeepLab,
     "QuantizablePanopticDeepLabPR": PanopticDeepLabPR,
     "QuantizablePanopticBiFPN": PanopticBiFPN,
