@@ -4,9 +4,10 @@ End-to-end production 3D inference path (reference pdl_inference3d.py,
 SURVEY §3.2) on the fused blocked engine (inference/fused.py): batched
 MitoNet forward (PanopticBiFPNPR on regnety_6p4gf, bf16) + z-median +
 full panoptic postprocess + on-device run extraction — ONE device
-dispatch per 8 slices — with RLE conversion + Hungarian matching running
-on an overlapped host thread. Everything a real volume pass does except
-disk IO.
+dispatch per 16 slices over the DEVICE-RESIDENT uint8 volume (one upload
+total, zero per-block image H2D) — with RLE conversion + Hungarian
+matching running on an overlapped host thread. Everything a real volume
+pass does except disk IO.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "slices/s", "vs_baseline": N}
@@ -90,13 +91,6 @@ def main():
     variables = dict(variables)
     variables["params"] = traverse_util.unflatten_dict(flat)
 
-    class _DS:
-        def __len__(self):
-            return N_SLICES
-
-        def __getitem__(self, i):
-            return {"index": i, "image": vol[i], "size": (H, W)}
-
     label_divisor = 1000
     engine = FusedStackEngine(
         model, variables, thing_list=[1], block_size=16,
@@ -105,9 +99,13 @@ def main():
         device_norms={"mean": 0.57, "std": 0.12}, pipeline_depth=2)
 
     def run_pass():
+        # device-resident volume path (fused.py infer_blocks_resident):
+        # ONE upload for the whole uint8 volume, dynamic-sliced into
+        # blocks on device — zero per-block image H2D
         matchers = patterns.create_matchers([1], label_divisor, 0.25, 0.25)
         fm = patterns.ForwardMatcher(matchers, [1], label_divisor, [1])
-        for z_indices, pan_block, packed in engine.infer_blocks(_DS()):
+        for z_indices, pan_block, packed in engine.infer_blocks_resident(
+                vol):
             fm.put_block(z_indices, pan_block, packed)
         return fm.finish()
 
@@ -115,7 +113,7 @@ def main():
         """Dispatch + completion only (no D2H consume, no host matcher):
         isolates device compute + upload from the drain stages."""
         n_blocks = 0
-        for _z, _pan, packed in engine.infer_blocks(_DS()):
+        for _z, _pan, packed in engine.infer_blocks_resident(vol):
             jax.block_until_ready(packed)
             n_blocks += 1
         return n_blocks

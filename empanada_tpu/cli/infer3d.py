@@ -132,9 +132,21 @@ def run_inference3d(
                                 scale=downsample_f)
         n = len(dataset)
 
+        # device-resident fast path (fused.py): the whole uint8 axis view
+        # uploads once (auto z-chunked against HBM) and blocks are
+        # dynamic-sliced on device — no per-block image H2D. Falls back
+        # to the streaming dataset path for meshes / host-side transforms
+        # / downsampled passes.
+        if mesh is None and downsample_f == 1 and norms is not None \
+                and isinstance(volume, np.ndarray):
+            vol_view = volume if axis == 0 else np.moveaxis(volume, axis, 0)
+            block_iter = engine.infer_blocks_resident(vol_view)
+        else:
+            block_iter = engine.infer_blocks(dataset,
+                                             upsampling=downsample_f)
+
         pan_stack = [] if save_panoptic_dir else None
-        for z_indices, pan_block, packed in engine.infer_blocks(
-                dataset, upsampling=downsample_f):
+        for z_indices, pan_block, packed in block_iter:
             fm.put_block(z_indices, pan_block, packed)
             if pan_stack is not None:
                 block = np.asarray(pan_block)

@@ -57,6 +57,37 @@ from empanada_tpu.ops.resize import factor_pad
 __all__ = ["FusedStackEngine"]
 
 
+class _PackedGroup:
+    """k flat packed buffers stacked on device -> ONE D2H transfer,
+    materialized lazily on first consumer access (D2H per-op latency is
+    the pipeline tail; grouping divides the op count by k)."""
+
+    def __init__(self, stacked):
+        self.dev = stacked
+        self.host = None
+
+    def row(self, i):
+        if self.host is None:
+            self.host = np.asarray(self.dev)
+            self.dev = None
+        return self.host[i]
+
+
+class _PackedView:
+    """One block's flat packed buffer inside a _PackedGroup; quacks like
+    an array for np.asarray (ForwardMatcher's only requirement)."""
+
+    def __init__(self, group, i):
+        self._group = group
+        self._i = i
+
+    def __array__(self, dtype=None, copy=None):
+        row = self._group.row(self._i)
+        if dtype is not None and row.dtype != dtype:
+            row = row.astype(dtype)
+        return row
+
+
 class FusedStackEngine:
     """Blocked, fused 3D stack inference engine.
 
@@ -70,6 +101,10 @@ class FusedStackEngine:
     ``pipeline_depth``: blocks kept in flight past the consumer (>=1
     overlaps the consumer's D2H + host matching with device compute and
     the next uploads; 0 reproduces strict lockstep).
+    ``d2h_group``: stack this many blocks' packed run buffers on device
+    and pull them in ONE transfer (D2H latency is per-OPERATION on
+    remote/tunneled runtimes; grouping divides the op count). Pure data
+    movement — emitted results are identical. Single-device paths only.
     """
 
     def __init__(self, module, variables, thing_list, block_size=8,
@@ -78,7 +113,7 @@ class FusedStackEngine:
                  median_kernel_size=3, padding_factor=128,
                  coarse_boundaries=True, max_centers=256,
                  num_classes=None, max_runs=None, mesh=None,
-                 device_norms=None, pipeline_depth=2):
+                 device_norms=None, pipeline_depth=2, d2h_group=1):
         assert median_kernel_size % 2 == 1
         self.module = module
         self.thing_list = list(thing_list)
@@ -97,6 +132,7 @@ class FusedStackEngine:
         self.max_runs = max_runs
         self.device_norms = device_norms
         self.pipeline_depth = int(pipeline_depth)
+        self.d2h_group = max(int(d2h_group), 1) if mesh is None else 1
         self._num_classes = num_classes
         self._block_fns = {}  # keyed by (render_steps, upsampling, crop, ...)
         self._abstract_args = None  # ShapeDtypeStructs of the last dispatch
@@ -120,41 +156,36 @@ class FusedStackEngine:
 
     # -----------------------------------------------------------------
 
-    def _build(self, num_classes, render_steps, upsampling, max_runs,
-               crop, pad_shape):
-        module = self.module
-        B, ks, mid = self.block_size, self.ks, self.mid
+    def _norm_params(self, crop, pad_shape, upsampling):
+        """Device-normalization constants: (mean, std, pad_mask) — the
+        exact host Normalize formula ((x/255 - mean)/std, transforms.py
+        :334) with the factor-pad ring re-zeroed to match
+        pad-after-normalize."""
+        norms = self.device_norms
+        oh, ow = crop
+        ph, pw = pad_shape
+        mean = float(norms["mean"] if isinstance(norms, dict) else norms[0])
+        std = float(norms["std"] if isinstance(norms, dict) else norms[1])
+        ny = -(-oh // upsampling)
+        nx = -(-ow // upsampling)
+        if ny < ph or nx < pw:
+            ring = np.zeros((ph, pw, 1), np.float32)
+            ring[:min(ny, ph), :min(nx, pw)] = 1.0
+            pad_mask = jnp.asarray(ring)
+        else:
+            pad_mask = None
+        return mean, std, pad_mask
+
+    def _make_postprocess(self, num_classes, upsampling, max_runs, crop):
+        """The per-slice device postprocess closure shared by the
+        streaming and volume-resident block functions."""
         step = 4 if self.coarse_boundaries else 1
-        scale = step * upsampling  # cells grid -> sem resolution
-        oh, ow = crop  # original slice shape; run extraction must use it
-        # (reference crops before any host work, engines.py:392)
-        ph, pw = pad_shape  # factor-padded input shape
+        scale = step * upsampling
+        oh, ow = crop
         table = np.zeros((num_classes,), bool)
         for t in self.thing_list:
             table[t] = True
         thing_table = jnp.asarray(table)
-
-        norms = self.device_norms
-        if norms is not None:
-            mean = float(norms["mean"] if isinstance(norms, dict)
-                         else norms[0])
-            std = float(norms["std"] if isinstance(norms, dict)
-                        else norms[1])
-            # pad-after-normalize parity: the host path normalizes first
-            # and THEN factor-pads with zeros; on device the valid region
-            # is the (downscaled) slice shape, the ring must re-zero
-            ny = -(-oh // upsampling)
-            nx = -(-ow // upsampling)
-            if ny < ph or nx < pw:
-                ring = np.zeros((ph, pw, 1), np.float32)
-                ring[:min(ny, ph), :min(nx, pw)] = 1.0
-                pad_mask = jnp.asarray(ring)
-            else:
-                pad_mask = None
-
-        # flat transfers only on the single-device path: resharding a
-        # flattened batch axis is not worth it on real meshes
-        flat_io = self._mesh is None
 
         def postprocess_one(sem_prob, ctr, off):
             centers, valid = find_instance_centers(
@@ -184,6 +215,28 @@ class FusedStackEngine:
                 [header, jnp.stack([starts, ends, values], axis=-1)],
                 axis=0)  # (1 + max_runs, 3)
             return pan, packed
+
+        return postprocess_one
+
+    def _build(self, num_classes, render_steps, upsampling, max_runs,
+               crop, pad_shape):
+        module = self.module
+        B, ks, mid = self.block_size, self.ks, self.mid
+        oh, ow = crop  # original slice shape; run extraction must use it
+        # (reference crops before any host work, engines.py:392)
+        ph, pw = pad_shape  # factor-padded input shape
+
+        norms = self.device_norms
+        if norms is not None:
+            mean, std, pad_mask = self._norm_params(crop, pad_shape,
+                                                    upsampling)
+
+        # flat transfers only on the single-device path: resharding a
+        # flattened batch axis is not worth it on real meshes
+        flat_io = self._mesh is None
+
+        postprocess_one = self._make_postprocess(num_classes, upsampling,
+                                                 max_runs, crop)
 
         def block_fn(variables, carry_sem, carry_ctr, carry_off,
                      images, use_median):
@@ -244,6 +297,210 @@ class FusedStackEngine:
         return jax.jit(block_fn, donate_argnums=(1, 2, 3))
 
     # -----------------------------------------------------------------
+
+    def _build_resident(self, num_classes, render_steps, upsampling,
+                        max_runs, crop, pad_shape, n):
+        """Block function over a DEVICE-RESIDENT volume chunk: instead of
+        uploading (B, H, W) images per block, the (chunk, ph, pw) volume
+        lives in HBM (uint8 = 4 bytes/px less than fp32) and each block
+        dynamic-slices its window on device. Per-block H2D drops to one
+        int32 scalar; ``use_median`` is computed on device from the block
+        start. Requires ``device_norms`` (or a float32 volume)."""
+        module = self.module
+        B, ks, mid = self.block_size, self.ks, self.mid
+        ph, pw = pad_shape
+
+        norms = self.device_norms
+        if norms is not None:
+            mean, std, pad_mask = self._norm_params(crop, pad_shape,
+                                                    upsampling)
+
+        postprocess_one = self._make_postprocess(num_classes, upsampling,
+                                                 max_runs, crop)
+
+        def block_fn(variables, carry_sem, carry_ctr, carry_off,
+                     z0_global, chunk, chunk_base):
+            # chunk: (n_chunk, ph, pw) device volume (uint8 or f32);
+            # z0_global rides the DONATED carry (+B per call) and
+            # chunk_base uploads once per chunk — per-block host->device
+            # scalar commits serialize the dispatch loop on tunneled
+            # runtimes (measured ~150 ms/block, tools/probe_resident.py).
+            # Callers guarantee z0 - chunk_base + B <= n_chunk, so
+            # dynamic_slice never clamps.
+            z0_local = z0_global - chunk_base
+            images = jax.lax.dynamic_slice_in_dim(chunk, z0_local, B, 0)
+            x = images[..., None].astype(jnp.float32)
+            if norms is not None:
+                x = (x / 255.0 - mean) / std
+                if pad_mask is not None:
+                    x = x * pad_mask
+            out = module.apply(
+                variables, x, train=False, render_steps=render_steps,
+                interpolate_ins=not self.coarse_boundaries)
+            sem = logits_to_prob(out["sem_logits"])
+            ctr = out["ctr_hmp"]
+            off = out["offsets"]
+
+            allsem = jnp.concatenate([carry_sem, sem], axis=0)
+            allctr = jnp.concatenate([carry_ctr, ctr], axis=0)
+            alloff = jnp.concatenate([carry_off, off], axis=0)
+
+            win = jnp.stack(
+                [jax.lax.dynamic_slice_in_dim(allsem, j, ks, 0)
+                 for j in range(B)], axis=0)
+            med = median_small(win, axis=1)
+            raw = jax.lax.dynamic_slice_in_dim(allsem, mid, B, 0)
+            # emitted slice z = z0_global + j - mid uses the median for
+            # mid <= z < n - mid, its raw map at the stack edges
+            # (reference engines.py:68-90)
+            z = z0_global + jnp.arange(B) - mid
+            use_median = (z >= mid) & (z < n - mid)
+            emit_sem = jnp.where(use_median[:, None, None, None], med, raw)
+            emit_ctr = allctr[:B, ..., 0]
+            emit_off = alloff[:B]
+
+            pan, packed = jax.vmap(postprocess_one)(
+                emit_sem, emit_ctr, emit_off)
+
+            new_carry_sem = allsem[-(ks - 1):] if ks > 1 else allsem[:0]
+            new_carry_ctr = allctr[-mid:] if mid > 0 else allctr[:0]
+            new_carry_off = alloff[-mid:] if mid > 0 else alloff[:0]
+            return (new_carry_sem, new_carry_ctr, new_carry_off,
+                    z0_global + B, pan, packed.reshape(-1))
+
+        return jax.jit(block_fn, donate_argnums=(1, 2, 3, 4))
+
+    def infer_blocks_resident(self, volume, upsampling=1,
+                              chunk_slices=None):
+        """``infer_blocks`` over a host ndarray volume with the volume
+        resident in HBM: upload once (or in ``chunk_slices`` z-chunks,
+        double-buffered), zero per-block image H2D. Single-device path;
+        same yield contract as ``infer_blocks``. The caller orients the
+        axis (pass ``volume.transpose(...)`` for xz/yz orthoplane passes)
+        and leaves dtype native (uint8 + ``device_norms`` is the
+        production EM layout)."""
+        assert self._mesh is None, "resident path is single-device"
+        assert math.log2(upsampling).is_integer()
+        if self.device_norms is None:
+            volume = np.asarray(volume, np.float32)
+        render_steps = int(2 + math.log2(upsampling))
+        B, ks, mid = self.block_size, self.ks, self.mid
+        n, oh, ow = volume.shape
+        ph = (-oh) % self.padding_factor + oh
+        pw = (-ow) % self.padding_factor + ow
+        H, W = ph * upsampling, pw * upsampling
+        if self._num_classes is None:
+            self._num_classes = max(
+                int(getattr(self.module, "num_classes", 1)),
+                (max(self.thing_list) + 1) if self.thing_list else 1, 2)
+        max_runs = self.max_runs or max(4096, 8 * H)
+
+        block_starts = list(range(0, n + mid, B))
+        n_padded = block_starts[-1] + B
+
+        fn_key = ("resident", render_steps, upsampling, (oh, ow), max_runs,
+                  (ph, pw), volume.dtype.str, n)
+        if fn_key not in self._block_fns:
+            self._block_fns[fn_key] = self._build_resident(
+                self._num_classes, render_steps, upsampling, max_runs,
+                (oh, ow), (ph, pw), n)
+        self._block_fn = self._block_fns[fn_key]
+
+        n_sem_ch = getattr(self.module, "num_classes", 1)
+        h4 = ph // 4 if self.coarse_boundaries else ph
+        w4 = pw // 4 if self.coarse_boundaries else pw
+        carry_sem = jnp.zeros((ks - 1, H, W, n_sem_ch), jnp.float32)
+        carry_ctr = jnp.zeros((mid, h4, w4, 1), jnp.float32)
+        carry_off = jnp.zeros((mid, h4, w4, 2), jnp.float32)
+
+        # chunking: blocks never straddle a chunk, so chunk size is a
+        # multiple of B; default = whole volume, capped at ~2 GB per
+        # chunk so multi-10GB volumes coexist with model + activations
+        # in HBM (~16 GB) while double-buffering
+        if chunk_slices is None:
+            per_slice = ph * pw * volume.dtype.itemsize
+            cap = max(B, int((2 << 30) // max(per_slice, 1)) // B * B)
+            chunk_len = min(n_padded, cap)
+        else:
+            chunk_len = max(B, (chunk_slices // B) * B)
+
+        def upload(c0):
+            """Pad + upload chunk starting at z=c0 (async device_put);
+            returns (device chunk, device chunk-base scalar)."""
+            end = min(c0 + chunk_len, n)
+            part = volume[c0:end]
+            pads = [(0, c0 + chunk_len - end
+                     if c0 + chunk_len > n else 0),
+                    (0, ph - oh), (0, pw - ow)]
+            if any(p[1] for p in pads):
+                part = np.pad(part, pads)
+            return (jax.device_put(np.ascontiguousarray(part)),
+                    jnp.int32(c0))
+
+        chunk_starts = list(range(0, n_padded, chunk_len))
+        chunks = {0: upload(chunk_starts[0])}
+
+        inflight = deque()
+        pending = []
+        depth = max(self.pipeline_depth, 0)
+        z0 = jnp.int32(block_starts[0])
+        for bi, block_start in enumerate(block_starts):
+            ci = block_start // chunk_len
+            if ci + 1 < len(chunk_starts) and (ci + 1) not in chunks:
+                # double-buffer the next chunk while this one computes
+                chunks[ci + 1] = upload(chunk_starts[ci + 1])
+            if ci - 1 in chunks and ci > 0:
+                del chunks[ci - 1]
+            chunk, chunk_base = chunks[ci]
+
+            if self._abstract_args is None:
+                self._abstract_args = jax.tree_util.tree_map(
+                    lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
+                    (self.variables, carry_sem, carry_ctr, carry_off,
+                     z0, chunk, chunk_base))
+            (carry_sem, carry_ctr, carry_off, z0, pan,
+             packed) = self._block_fn(
+                self.variables, carry_sem, carry_ctr, carry_off,
+                z0, chunk, chunk_base)
+
+            z_indices = [
+                block_start + j - mid
+                if 0 <= block_start + j - mid < n else None
+                for j in range(B)
+            ]
+            pending.append((z_indices, pan, packed))
+            if len(pending) >= self.d2h_group:
+                inflight.extend(self._flush_group(pending))
+                pending = []
+            while len(inflight) > depth:
+                yield inflight.popleft()
+            if block_start + B - mid >= n:
+                break
+        if pending:
+            inflight.extend(self._flush_group(pending))
+        while inflight:
+            yield inflight.popleft()
+
+    # -----------------------------------------------------------------
+
+    def _flush_group(self, pending):
+        """pending: [(z_indices, pan, packed_dev)] -> emit tuples whose
+        packed entries share ONE device-stacked buffer / D2H."""
+        if len(pending) == 1:
+            z, pan, packed = pending[0]
+            try:
+                packed.copy_to_host_async()
+            except Exception:
+                pass
+            return [(z, pan, packed)]
+        stacked = jnp.stack([p for (_, _, p) in pending])
+        try:
+            stacked.copy_to_host_async()
+        except Exception:
+            pass
+        group = _PackedGroup(stacked)
+        return [(z, pan, _PackedView(group, i))
+                for i, (z, pan, _) in enumerate(pending)]
 
     def block_cost_analysis(self):
         """XLA cost analysis (flops, bytes) of the compiled block
@@ -363,6 +620,9 @@ class FusedStackEngine:
         ensure_loads(prefetch)
 
         inflight = deque()
+        pending = []
+        # grouping needs flat 1D packed buffers (mesh path keeps (B,R,3))
+        group_k = self.d2h_group if flat_io else 1
         for bi, block_start in enumerate(block_starts):
             batch, use_median = load_futs.pop(bi).result()
             ensure_loads(bi + 1 + prefetch)
@@ -379,10 +639,6 @@ class FusedStackEngine:
             (carry_sem, carry_ctr, carry_off, pan, packed) = self._block_fn(
                 self.variables, carry_sem, carry_ctr, carry_off,
                 batch, um)
-            try:
-                packed.copy_to_host_async()
-            except Exception:
-                pass
 
             # map block rows -> z indices (None = padding rows); the full
             # (B, ...) arrays are yielded unsliced so the consumer's D2H
@@ -395,11 +651,16 @@ class FusedStackEngine:
             # pan is already cropped to the original slice shape inside
             # the block fn (so the device-extracted runs ravel with the
             # true width)
-            inflight.append((z_indices, pan, packed))
+            pending.append((z_indices, pan, packed))
+            if len(pending) >= group_k:
+                inflight.extend(self._flush_group(pending))
+                pending = []
             while len(inflight) > depth:
                 yield inflight.popleft()
             if block_start + B - mid >= n:
                 break
+        if pending:
+            inflight.extend(self._flush_group(pending))
         while inflight:
             yield inflight.popleft()
         pool.shutdown(wait=False)

@@ -167,6 +167,51 @@ def test_device_norms_matches_host_normalize(model_and_vol):
         assert agree == 1.0, (z, agree)
 
 
+@pytest.mark.parametrize("chunk_slices", [None, 4, 8])
+def test_resident_volume_matches_streaming(model_and_vol, chunk_slices):
+    """The device-resident volume path (upload once, dynamic-slice blocks
+    on device, use_median computed on device) must emit EXACTLY the
+    streaming engine's maps and runs, including at chunk boundaries."""
+    model, variables, _ = model_and_vol
+    rng = np.random.default_rng(13)
+    D, H, W = 11, 30, 27
+    vol_u8 = rng.integers(0, 255, (D, H, W), dtype=np.uint8)
+    zz, yy, xx = np.mgrid[:D, :H, :W]
+    vol_u8[((zz - 5) ** 2 * 9 + (yy - 15) ** 2 + (xx - 13) ** 2) < 60] = 250
+
+    class RawDS:
+        def __len__(self):
+            return D
+
+        def __getitem__(self, i):
+            return {"index": i, "image": vol_u8[i], "size": (H, W)}
+
+    kwargs = dict(thing_list=[1], label_divisor=100, stuff_area=0,
+                  median_kernel_size=3, padding_factor=16, max_centers=64,
+                  block_size=4, device_norms={"mean": 0.5, "std": 0.2})
+    stream = FusedStackEngine(model, variables, **kwargs)
+    resident = FusedStackEngine(model, variables, **kwargs)
+
+    def collect_blocks(block_iter, B):
+        got = {}
+        for z_indices, pan, packed in block_iter:
+            arr = np.asarray(packed).reshape(B, -1, 3)
+            pan = np.asarray(pan)
+            for j, z in enumerate(z_indices):
+                if z is not None:
+                    got[z] = (pan[j], arr[j])
+        return got
+
+    got_s = collect_blocks(stream.infer_blocks(RawDS()), 4)
+    got_r = collect_blocks(
+        resident.infer_blocks_resident(vol_u8, chunk_slices=chunk_slices),
+        4)
+    assert sorted(got_s) == sorted(got_r) == list(range(D))
+    for z in range(D):
+        assert np.array_equal(got_s[z][0], got_r[z][0]), z
+        assert np.array_equal(got_s[z][1], got_r[z][1]), z
+
+
 def test_pipeline_depth_invariance(model_and_vol):
     """Emitted maps must not depend on how many blocks stay in flight."""
     model, variables, vol = model_and_vol
@@ -182,6 +227,30 @@ def test_pipeline_depth_invariance(model_and_vol):
         assert sorted(got) == sorted(ref)
         for z in ref:
             assert np.array_equal(got[z], ref[z]), (depth, z)
+
+
+def test_d2h_group_invariance(model_and_vol):
+    """Grouping k blocks' packed buffers into one transfer is pure data
+    movement: maps and runs must be identical for any group size,
+    including a ragged tail group."""
+    model, variables, vol = model_and_vol
+    kwargs = dict(thing_list=[1], label_divisor=100, stuff_area=0,
+                  median_kernel_size=3, padding_factor=16, max_centers=64,
+                  block_size=4)
+    ref = {z: (np.asarray(p), tuple(np.asarray(x) for x in r))
+           for z, p, r in FusedStackEngine(
+               model, variables, d2h_group=1,
+               **kwargs).infer_stack(_DS(vol))}
+    for k in (2, 3):
+        got = {z: (np.asarray(p), tuple(np.asarray(x) for x in r))
+               for z, p, r in FusedStackEngine(
+                   model, variables, d2h_group=k,
+                   **kwargs).infer_stack(_DS(vol))}
+        assert sorted(got) == sorted(ref)
+        for z in ref:
+            assert np.array_equal(got[z][0], ref[z][0]), (k, z)
+            for a, b in zip(got[z][1], ref[z][1]):
+                assert np.array_equal(a, b), (k, z)
 
 
 def test_matcher_worker_error_propagates():
