@@ -58,9 +58,15 @@ def shard_batch(batch, mesh, axis_name="data"):
 def initialize_distributed(coordinator_address=None, num_processes=None,
                            process_id=None):
     """Multi-host bring-up (replaces dist.init_process_group,
-    reference train.py:118). No-op when single-process."""
+    reference train.py:118). No-op when single-process. Must run before
+    the first backend use. On CPU hosts (tests, CPU serving) the gloo
+    collectives implementation is selected so cross-process collectives
+    actually ride a fabric (TPU slices use their own runtime and ignore
+    the CPU setting)."""
     if num_processes is None or num_processes <= 1:
         return
+    if jax.config.jax_platforms and "cpu" in str(jax.config.jax_platforms):
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,

@@ -1,0 +1,182 @@
+"""Multi-host (multi-process) 3D inference composition.
+
+The reference's multi-GPU script shards slice inference over N ranks and
+funnels pickled per-slice results to rank 0, which runs all matching,
+tracking, and consensus (reference scripts/inference3d_multigpu.py:276-379
++ empanada/inference/patterns.py forward_multigpu). The TPU-native
+composition keeps that topology but replaces the gloo side-channel with
+``parallel.collectives`` (multihost_utils over the JAX distributed
+runtime) and the per-rank model loop with the fused blocked engine:
+
+- each process takes a CONTIGUOUS z-shard of every axis pass, extended by
+  a median-window halo (``mid`` slices each side) so every emitted map is
+  bit-identical to the single-process run;
+- per-slice RLE decoding happens on the owning process (only O(#runs)
+  bytes ever leave a device);
+- rank 0 gathers the ordered shards, then runs the exact single-process
+  matching -> backward-matching -> tracking -> consensus flow
+  (cli/infer3d.run_inference3d semantics).
+
+Bring-up: call ``parallel.initialize_distributed`` (or
+``jax.distributed.initialize``) first; on CPU hosts it selects the gloo
+collectives backend automatically.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["z_shard", "local_rle_shard", "multihost_run_inference3d"]
+
+
+def z_shard(n, rank, world):
+    """Contiguous near-even split of n slices: rank -> [start, end)."""
+    per = -(-n // world)
+    start = min(rank * per, n)
+    return start, min(start + per, n)
+
+
+def local_rle_shard(engine, vol_view, start, end, *, labels, label_divisor,
+                    thing_list, upsampling=1):
+    """Run the fused engine over this process's extended z-shard and
+    return [(global_z, unmatched rle_seg)] for global z in [start, end).
+
+    The shard is extended by ``mid`` halo slices each side so the median
+    window sees the same neighbors as the single-process pass; local raw
+    /median emission decisions then coincide with the global ones for
+    every kept slice (engines.py:68-90 semantics).
+    """
+    from empanada_tpu.inference.rle import pan_seg_to_rle_seg, runs_to_rle_seg
+
+    n = len(vol_view)
+    mid = engine.mid
+    lo = max(0, start - mid)
+    hi = min(n, end + mid)
+    ext = vol_view[lo:hi]
+
+    out = []
+    for z_indices, pan_block, packed in engine.infer_blocks_resident(
+            ext, upsampling=upsampling):
+        arr = np.asarray(packed).reshape(len(z_indices), -1, 3)
+        max_runs = arr.shape[1] - 1
+        shape = tuple(pan_block.shape[-2:])
+        pan_host = None
+        for j, zl in enumerate(z_indices):
+            if zl is None:
+                continue
+            z = lo + zl
+            if not (start <= z < end):
+                continue  # halo emission owned by a neighbor rank
+            n_runs = int(arr[j, 0, 0])
+            if n_runs <= max_runs:
+                rle_seg = runs_to_rle_seg(
+                    arr[j, 1:n_runs + 1, 0], arr[j, 1:n_runs + 1, 1],
+                    arr[j, 1:n_runs + 1, 2], shape, labels, label_divisor,
+                    thing_list)
+            else:  # run budget overflow: pull the dense map
+                if pan_host is None:
+                    pan_host = np.asarray(pan_block)
+                rle_seg = pan_seg_to_rle_seg(pan_host[j], labels,
+                                             label_divisor, thing_list)
+            out.append((z, rle_seg))
+    return out
+
+
+def multihost_run_inference3d(
+        model, volume, *, labels, thing_list, class_names=None,
+        mode="orthoplane", qlen=3, label_divisor=20000, seg_thr=0.3,
+        nms_thr=0.1, nms_kernel=3, iou_thr=0.25, ioa_thr=0.25,
+        pixel_vote_thr=2, cluster_iou_thr=0.75, min_size=500, min_span=4,
+        one_view=False, fine_boundaries=False, padding_factor=128,
+        max_centers=256, block_size=8, norms=None, progress=False):
+    """Z-sharded multi-process ``run_inference3d``: every process calls
+    this with the same (replicated) model + volume; rank 0 returns
+    {class_id: consensus InstanceTracker}, other ranks return None.
+
+    Single-process (jax.process_count()==1) degrades to exactly the
+    local flow — usable as a drop-in in launcher scripts, like the
+    reference's script works at world_size 1.
+    """
+    import jax
+
+    from empanada_tpu.inference import patterns
+    from empanada_tpu.inference.fused import FusedStackEngine
+    from empanada_tpu.parallel.collectives import all_gather_objects
+
+    if isinstance(model, tuple):
+        module, variables = model
+    else:  # JittedModel
+        module, variables = model.module, model.params
+    rank = jax.process_index()
+    world = jax.process_count()
+
+    volume = np.asarray(volume)
+    shape = tuple(volume.shape)
+    axes = {"xy": 0} if mode == "stack" else {"xy": 0, "xz": 1, "yz": 2}
+    trackers = patterns.create_axis_trackers(axes, labels, label_divisor,
+                                             shape)
+
+    for axis_name, axis in axes.items():
+        engine = FusedStackEngine(
+            module, variables, thing_list, block_size=block_size,
+            label_divisor=label_divisor, median_kernel_size=qlen,
+            nms_threshold=nms_thr, nms_kernel=nms_kernel,
+            confidence_thr=seg_thr, padding_factor=padding_factor,
+            coarse_boundaries=not fine_boundaries,
+            max_centers=max_centers, stuff_area=0, device_norms=norms)
+        view = volume if axis == 0 else np.moveaxis(volume, axis, 0)
+        if norms is None:
+            view = np.ascontiguousarray(view, np.float32)
+        n = len(view)
+        start, end = z_shard(n, rank, world)
+        local = local_rle_shard(
+            engine, view, start, end, labels=labels,
+            label_divisor=label_divisor, thing_list=thing_list)
+        gathered = all_gather_objects(local)
+        if rank != 0:
+            continue
+
+        by_z = {z: seg for part in gathered for z, seg in part}
+        assert sorted(by_z) == list(range(n)), "shard coverage hole"
+
+        # rank 0 runs the single-process matching flow over the ordered
+        # stack (reference rank-0 matching, inference3d_multigpu.py:318)
+        matchers = patterns.create_matchers(thing_list, label_divisor,
+                                            iou_thr, ioa_thr)
+        rle_stack = []
+        for z in range(n):
+            rle_stack.append(patterns.apply_matchers(by_z[z], matchers))
+        for rev_idx, rle_seg in patterns.backward_matching(
+                rle_stack, matchers, n):
+            patterns.update_trackers(rle_seg, rev_idx, trackers[axis_name])
+        patterns.finish_tracking(trackers[axis_name])
+        for tracker in trackers[axis_name]:
+            patterns.apply_filters(tracker, [
+                {"name": "remove_small_objects", "min_size": min_size},
+                {"name": "remove_pancakes", "min_span": min_span},
+            ])
+        if progress:
+            print(f"[{axis_name}] {n} slices over {world} processes")
+
+    if rank != 0:
+        return None
+
+    consensus = {}
+    for class_id in labels:
+        class_trackers = patterns.get_axis_trackers_by_class(
+            trackers, class_id)
+        if mode == "stack":
+            consensus[class_id] = class_trackers[0]
+            continue
+        if class_id in thing_list:
+            consensus[class_id] = patterns.create_instance_consensus(
+                class_trackers, pixel_vote_thr, cluster_iou_thr,
+                bypass=one_view)
+            patterns.apply_filters(consensus[class_id], [
+                {"name": "remove_small_objects", "min_size": min_size},
+                {"name": "remove_pancakes", "min_span": min_span},
+            ])
+        else:
+            consensus[class_id] = patterns.create_semantic_consensus(
+                class_trackers, pixel_vote_thr)
+    return consensus
