@@ -92,63 +92,76 @@ def main():
     variables["params"] = traverse_util.unflatten_dict(flat)
 
     label_divisor = 1000
-    engine = FusedStackEngine(
-        model, variables, thing_list=[1], block_size=16,
-        label_divisor=label_divisor, median_kernel_size=3,
-        padding_factor=128, coarse_boundaries=True, max_centers=256,
-        device_norms={"mean": 0.57, "std": 0.12}, pipeline_depth=2)
+    engines = {
+        # streaming: per-block uint8 upload on a prefetch thread
+        "stream": FusedStackEngine(
+            model, variables, thing_list=[1], block_size=16,
+            label_divisor=label_divisor, median_kernel_size=3,
+            padding_factor=128, coarse_boundaries=True, max_centers=256,
+            device_norms={"mean": 0.57, "std": 0.12}, pipeline_depth=2),
+        # device-resident volume, lax.scan of 3 blocks per dispatch
+        "resident": FusedStackEngine(
+            model, variables, thing_list=[1], block_size=16,
+            label_divisor=label_divisor, median_kernel_size=3,
+            padding_factor=128, coarse_boundaries=True, max_centers=256,
+            device_norms={"mean": 0.57, "std": 0.12}, pipeline_depth=2,
+            scan_blocks=3),
+    }
 
-    def run_pass():
-        # device-resident volume path (fused.py infer_blocks_resident):
-        # ONE upload for the whole uint8 volume, dynamic-sliced into
-        # blocks on device — zero per-block image H2D
+    def blocks(mode):
+        if mode == "resident":
+            return engines[mode].infer_blocks_resident(vol)
+        return engines[mode].infer_blocks(_DSWrap())
+
+    class _DSWrap:
+        def __len__(self):
+            return N_SLICES
+
+        def __getitem__(self, i):
+            return {"index": i, "image": vol[i], "size": (H, W)}
+
+    def run_pass(mode):
         matchers = patterns.create_matchers([1], label_divisor, 0.25, 0.25)
         fm = patterns.ForwardMatcher(matchers, [1], label_divisor, [1])
-        for z_indices, pan_block, packed in engine.infer_blocks_resident(
-                vol):
+        for z_indices, pan_block, packed in blocks(mode):
             fm.put_block(z_indices, pan_block, packed)
         return fm.finish()
 
-    def device_only_pass():
-        """Dispatch + completion only (no D2H consume, no host matcher):
-        isolates device compute + upload from the drain stages."""
-        n_blocks = 0
-        for _z, _pan, packed in engine.infer_blocks_resident(vol):
-            jax.block_until_ready(packed)
-            n_blocks += 1
-        return n_blocks
+    for mode in engines:
+        run_pass(mode)  # warmup: compiles
 
-    run_pass()  # warmup: compiles the block function
-
-    # three timed passes, keep the best: the shared-tunnel runtime adds
-    # ~±15% run-to-run noise that a single sample conflates with code
-    best = None
+    # alternate timed passes, keep the best per mode: the shared-tunnel
+    # runtime adds large run-to-run noise that a single sample conflates
+    # with code; alternating shares the weather across modes
+    times = {m: [] for m in engines}
     for _ in range(3):
-        t0 = time.perf_counter()
-        rle_stack = run_pass()
-        elapsed = time.perf_counter() - t0
-        assert len(rle_stack) == N_SLICES, len(rle_stack)
-        best = elapsed if best is None else min(best, elapsed)
+        for mode in engines:
+            t0 = time.perf_counter()
+            rle_stack = run_pass(mode)
+            elapsed = time.perf_counter() - t0
+            assert len(rle_stack) == N_SLICES, len(rle_stack)
+            times[mode].append(elapsed)
 
-    t0 = time.perf_counter()
-    n_blocks = device_only_pass()
-    device_elapsed = time.perf_counter() - t0
-
+    best_mode = min(engines, key=lambda m: min(times[m]))
+    best = min(times[best_mode])
     slices_per_sec = N_SLICES / best
 
-    # MFU lower bound: compiled-model flops per block over the measured
-    # END-TO-END block time (includes transfers/host; the pure-compute
-    # MFU is higher) against TPU v5e peak bf16.
+    # MFU lower bound: compiled flops per dispatch over the measured
+    # END-TO-END time (includes transfers/host; pure-compute MFU is
+    # higher) against TPU v5e peak bf16.
+    engine = engines[best_mode]
     breakdown = {
-        "device_only_slices_per_sec": round(N_SLICES / device_elapsed, 3),
-        "blocks": n_blocks,
+        "mode": best_mode,
+        "per_mode_slices_per_sec": {
+            m: round(N_SLICES / min(ts), 2) for m, ts in times.items()},
     }
     cost = engine.block_cost_analysis()
     if cost and cost.get("flops"):
-        flops_per_block = float(cost["flops"])
+        flops_per_dispatch = float(cost["flops"])
         peak = 197e12  # TPU v5e bf16 peak FLOP/s
-        mfu = flops_per_block * n_blocks / best / peak
-        breakdown["flops_per_block"] = flops_per_block
+        mfu = flops_per_dispatch * engine.last_dispatch_count / best / peak
+        breakdown["flops_per_dispatch"] = flops_per_dispatch
+        breakdown["dispatches"] = engine.last_dispatch_count
         breakdown["mfu_end_to_end_lower_bound"] = round(mfu, 5)
 
     print(json.dumps({

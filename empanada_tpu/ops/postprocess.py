@@ -240,6 +240,25 @@ def vote_count_table_coarse(ins_coarse, sem, thing_mask_table, scale,
     return counts.reshape(n_ins, n_classes)
 
 
+def _class_select(table, sem_f, num_classes):
+    """table[sem_f] for a tiny per-class table WITHOUT an XLA gather:
+    TPU lowers small-table gathers over millions of indices very poorly
+    (measured 61 ms for 4M lookups from a 257-entry table vs ~0 for the
+    equivalent compare+select chain). num_classes is static and small."""
+    out = jnp.full(sem_f.shape, table[0], table.dtype)
+    for c in range(1, num_classes):
+        out = jnp.where(sem_f == c, table[c], out)
+    return out
+
+
+def _small_table_lookup_f32(table, idx, n):
+    """table[idx] for a small (n,) table over many indices as a one-hot
+    f32 matmul — rides the MXU instead of TPU's slow small-table gather
+    path. Exact for integer-valued tables < 2^24."""
+    oh = (idx[..., None] == jnp.arange(n, dtype=idx.dtype))
+    return oh.astype(jnp.float32) @ table.astype(jnp.float32)
+
+
 def _vote_count_table(ins_f, sem_f, mask, n_ins, n_classes):
     """counts[k, c] = #pixels with ins==k, sem==c, mask.
 
@@ -276,9 +295,9 @@ def merge_semantic_and_instance(
         pan: (H, W) int32 panoptic ids.
     """
     sem_f = sem.reshape(-1)
-    # mask instances to thing pixels exactly as _merge_from_counts will,
+    # mask instances to thing pixels exactly as _paint_panoptic will,
     # so votes and painting share one mask definition
-    is_thing_px = thing_mask_table[sem_f]
+    is_thing_px = _class_select(thing_mask_table, sem_f, num_classes)
     ins_f = jnp.where(is_thing_px, ins.reshape(-1), 0)
     vote_mask = ins_f > 0
 
@@ -298,36 +317,35 @@ def merge_semantic_and_instance_coarse(
 ):
     """Render-path merge: instance cells are constant over scale x scale
     blocks (nearest-upsampled from the coarse grouping grid), so the
-    majority vote runs on the coarse grid with per-cell class counts —
-    scale^2 fewer elements through the histogram sort. Semantics match
-    merge_semantic_and_instance exactly for block-constant ins."""
+    majority vote AND the per-instance paint lookup run on the coarse
+    grid — scale^2 fewer elements through the histogram sort and the
+    instance-table lookup. Semantics match merge_semantic_and_instance
+    exactly for block-constant ins."""
     counts = vote_count_table_coarse(
         ins_coarse, sem, thing_mask_table, scale, max_centers + 1,
         num_classes)
+    paint_tbl = _instance_paint_table(counts, label_divisor, max_centers)
+    # paint values are block-constant: look up at coarse res, upsample
+    paint_c = _small_table_lookup_f32(
+        paint_tbl, ins_coarse.reshape(-1), max_centers + 1)
+    paint_c = paint_c.astype(jnp.int32).reshape(ins_coarse.shape)
+    paint = jnp.repeat(jnp.repeat(paint_c, scale, axis=0), scale, axis=1)
     ins = jnp.repeat(jnp.repeat(ins_coarse, scale, axis=0), scale, axis=1)
-    return _merge_from_counts(
-        sem, ins, counts, thing_mask_table, label_divisor, stuff_area,
-        void_label, max_centers, num_classes)
+    return _paint_panoptic(sem, ins, paint, thing_mask_table,
+                           label_divisor, stuff_area, void_label,
+                           num_classes)
 
 
-def _merge_from_counts(sem, ins, counts, thing_mask_table, label_divisor,
-                       stuff_area, void_label, max_centers, num_classes):
-    h, w = sem.shape
-    sem_f = sem.reshape(-1)
-    is_thing_px = thing_mask_table[sem_f]
-    # restrict instance ids to thing pixels (reference
-    # get_instance_segmentation/get_panoptic_seg); idempotent when the
-    # caller already masked
-    ins_f = jnp.where(is_thing_px, ins.reshape(-1), 0)
-    thing_seg = ins_f > 0
-    vote_mask = thing_seg & is_thing_px
-
+def _instance_paint_table(counts, label_divisor, max_centers):
+    """(K+1,) paint value per instance id: majority class * label_divisor
+    + per-class 1-based renumbering in ascending instance-id order; 0 for
+    absent instances (paint > 0 <=> instance present, since present
+    instances always get new_id >= 1)."""
     counts = counts.at[0].set(0)  # drop the dump row
     inst_area = counts.sum(axis=1)                 # (K+1,)
     inst_class = jnp.argmax(counts, axis=1).astype(jnp.int32)
     inst_present = inst_area > 0
 
-    # --- per-class 1-based renumbering in ascending instance-id order --
     # new_id[k] = 1 + #present instances j<k with the same class
     same_class = inst_class[:, None] == inst_class[None, :]   # (K+1, K+1)
     kk = max_centers + 1
@@ -336,6 +354,21 @@ def _merge_from_counts(sem, ins, counts, thing_mask_table, label_divisor,
     new_id = jnp.where(inst_present, prior.astype(jnp.int32) + 1, 0)
 
     pan_thing_val = inst_class * label_divisor + new_id        # (K+1,)
+    return jnp.where(inst_present, pan_thing_val, 0)
+
+
+def _paint_panoptic(sem, ins, paint, thing_mask_table, label_divisor,
+                    stuff_area, void_label, num_classes):
+    """Combine full-res semantics with per-pixel instance paint values
+    (paint[p] = pan id of the instance at p, 0 if absent). All per-class
+    lookups are compare+select chains — no TPU gathers."""
+    h, w = sem.shape
+    sem_f = sem.reshape(-1)
+    paint_f = paint.reshape(-1)
+    is_thing_px = _class_select(thing_mask_table, sem_f, num_classes)
+    # restrict instance ids to thing pixels (reference
+    # get_instance_segmentation/get_panoptic_seg)
+    thing_seg = is_thing_px & (ins.reshape(-1) > 0)
 
     # --- stuff areas (num_classes is small: direct per-class sums) -----
     stuff_mask_px = ~thing_seg
@@ -350,10 +383,22 @@ def _merge_from_counts(sem, ins, counts, thing_mask_table, label_divisor,
     # stuff first (things overwrite, matching reference order where thing
     # pixels always win because stuff is only painted where ~thing_seg)
     stuff_val = sem_f * label_divisor
-    pan = jnp.where(stuff_mask_px & stuff_keep[sem_f], stuff_val, pan)
-    pan = jnp.where(vote_mask & inst_present[ins_f],
-                    pan_thing_val[ins_f], pan)
+    pan = jnp.where(
+        stuff_mask_px & _class_select(stuff_keep, sem_f, num_classes),
+        stuff_val, pan)
+    pan = jnp.where(thing_seg & (paint_f > 0), paint_f, pan)
     return pan.reshape(h, w)
+
+
+def _merge_from_counts(sem, ins, counts, thing_mask_table, label_divisor,
+                       stuff_area, void_label, max_centers, num_classes):
+    paint_tbl = _instance_paint_table(counts, label_divisor, max_centers)
+    ins_f = ins.reshape(-1)
+    paint = _small_table_lookup_f32(
+        paint_tbl, ins_f, max_centers + 1).astype(jnp.int32)
+    return _paint_panoptic(sem, ins, paint.reshape(ins.shape),
+                           thing_mask_table, label_divisor, stuff_area,
+                           void_label, num_classes)
 
 
 def get_panoptic_segmentation(
