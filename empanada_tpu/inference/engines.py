@@ -36,6 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from empanada_tpu.ops.postprocess import (
+    _class_select,
     find_instance_centers,
     group_pixels,
     harden_semantic,
@@ -114,7 +115,7 @@ def _fused_panoptic(sem_prob, ctr_hmp, offsets, thing_table, *,
         ctr_hmp, nms_threshold, nms_kernel, max_centers)
     ins = group_pixels(centers, valid, offsets)
     ins = jnp.where(jnp.any(valid), ins, 0)
-    ins = jnp.where(thing_table[sem], ins, 0)
+    ins = jnp.where(_class_select(thing_table, sem, num_classes), ins, 0)
     return merge_semantic_and_instance(
         sem, ins, label_divisor, thing_table, stuff_area, void_label,
         max_centers, num_classes)
@@ -145,7 +146,8 @@ def _merge_with_cells(sem_prob, instance_cells, thing_table, *,
     (reference PanopticDeepLabRenderEngine.get_panoptic_seg,
     engines.py:278-298)."""
     sem = harden_semantic(sem_prob, confidence_thr)
-    ins = jnp.where(thing_table[sem], instance_cells, 0)
+    ins = jnp.where(_class_select(thing_table, sem, num_classes),
+                    instance_cells, 0)
     return merge_semantic_and_instance(
         sem, ins, label_divisor, thing_table, stuff_area, void_label,
         max_centers, num_classes)
