@@ -91,6 +91,30 @@ def main():
     variables = dict(variables)
     variables["params"] = traverse_util.unflatten_dict(flat)
 
+    # executing-int8 variant (models/quantization.py): calibrated on a
+    # few volume slices ON THE HOST CPU backend (eager calibration through
+    # the tunnel would dispatch thousands of ops), then the same fused
+    # engine with int8 convs on the MXU — the TPU analog of the
+    # reference's quantized MitoNet deployment (export_model.py:137-163).
+    # Reported in the breakdown; the headline stays bf16.
+    from empanada_tpu.export import quantize_variables_int8
+    from empanada_tpu.models.quantization import (
+        Int8Module,
+        calibrate_activations,
+    )
+
+    with jax.default_device(cpu) if cpu else _nullcontext():
+        # 256^2 crops: activation-scale statistics are content-scale
+        # invariant and eager-CPU calibration cost is quadratic in size
+        calib = [((vol[i][:256, :256].astype(np.float32) / 255.0 - 0.57)
+                  / 0.12)[None, ..., None] for i in (0, 64)]
+        act_scales = calibrate_activations(
+            model, variables, calib,
+            apply_kwargs={"train": False, "render_steps": 2,
+                          "interpolate_ins": False})
+    qvars = quantize_variables_int8(variables, act_scales.keys())
+    int8_model = Int8Module(model, act_scales)
+
     label_divisor = 1000
     engines = {
         # streaming: per-block uint8 upload on a prefetch thread
@@ -106,6 +130,12 @@ def main():
             padding_factor=128, coarse_boundaries=True, max_centers=256,
             device_norms={"mean": 0.57, "std": 0.12}, pipeline_depth=2,
             scan_blocks=3),
+        # executing int8 (streaming transport)
+        "int8": FusedStackEngine(
+            int8_model, qvars, thing_list=[1], block_size=16,
+            label_divisor=label_divisor, median_kernel_size=3,
+            padding_factor=128, coarse_boundaries=True, max_centers=256,
+            device_norms={"mean": 0.57, "std": 0.12}, pipeline_depth=2),
     }
 
     def blocks(mode):
@@ -142,7 +172,10 @@ def main():
             assert len(rle_stack) == N_SLICES, len(rle_stack)
             times[mode].append(elapsed)
 
-    best_mode = min(engines, key=lambda m: min(times[m]))
+    # headline stays bf16 (reference GPU inference is fp); int8 is
+    # reported in the breakdown as the quantized-deployment number
+    best_mode = min((m for m in engines if m != "int8"),
+                    key=lambda m: min(times[m]))
     best = min(times[best_mode])
     slices_per_sec = N_SLICES / best
 

@@ -33,19 +33,28 @@ __all__ = ["export_model", "load_exported_model", "save_params",
            "dequantize_variables_int8"]
 
 
-def quantize_variables_int8(variables):
-    """Weight-only int8 PTQ: large conv/dense kernels -> int8 with
+def quantize_variables_int8(variables, module_paths=None):
+    """int8 PTQ kernel storage: conv/dense kernels -> int8 with
     per-output-channel symmetric scales (the deployment analog of the
-    reference's fbgemm INT8 export, export_model.py:137-163 — on TPU
-    inference runs bf16, so int8 here is an artifact-size/CPU-deploy
-    format, dequantized on load)."""
+    reference's fbgemm INT8 export, export_model.py:137-163).
+
+    ``module_paths``: iterable of "a/b/c" module paths whose kernels the
+    executing-int8 interceptor will consume (models/quantization.py —
+    use the calibration's act_scales keys). Kernels of OTHER module types
+    (e.g. ConvTranspose, which the interceptor leaves fp32) must stay
+    float or flax's normal path would receive a dict. When None (legacy
+    weight-only artifact), every large kernel is quantized and
+    dequantized on load."""
     from flax import traverse_util
 
+    allowed = None if module_paths is None else set(module_paths)
     flat = traverse_util.flatten_dict(variables)
     out = {}
     for key, leaf in flat.items():
         leaf = np.asarray(leaf)
-        if key[-1] == "kernel" and leaf.ndim >= 2 and leaf.size > 4096:
+        path_ok = allowed is None or "/".join(key[1:-1]) in allowed
+        if (key[-1] == "kernel" and leaf.ndim >= 2 and leaf.size > 4096
+                and path_ok):
             axes = tuple(range(leaf.ndim - 1))
             scale = np.abs(leaf).max(axis=axes, keepdims=True) / 127.0
             scale = np.maximum(scale, 1e-12)
@@ -123,8 +132,7 @@ def export_model(variables, model_config, save_dir, name,
 
     if quantize:
         q_path = os.path.join(save_dir, f"{name}.int8.msgpack")
-        save_params(q_path, quantize_variables_int8(variables))
-        desc["model_quantized"] = q_path
+        module_paths = None
         if calibration_data is not None:
             from empanada_tpu.models.quantization import (
                 calibrate_activations)
@@ -135,6 +143,12 @@ def export_model(variables, model_config, save_dir, name,
                 model, variables, calibration_data,
                 apply_kwargs={"train": False, "render_steps": 2,
                               "interpolate_ins": False})
+            # executing artifact: only Conv/Dense kernels the interceptor
+            # consumes go int8; others (ConvTranspose) stay fp32
+            module_paths = desc["act_scales"].keys()
+        save_params(q_path, quantize_variables_int8(variables,
+                                                    module_paths))
+        desc["model_quantized"] = q_path
 
     if stablehlo:
         hlo_path = os.path.join(save_dir, f"{name}.stablehlo")

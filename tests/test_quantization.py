@@ -106,6 +106,33 @@ class TestInt8Execution:
         assert np.isfinite(np.asarray(out["sem_logits"])).all()
 
 
+class TestNonInterceptedKernels:
+    def test_bifpn_convtranspose_stays_fp32(self):
+        """BiFPN decoders carry large nn.ConvTranspose kernels that the
+        interceptor does NOT execute in int8 — the quantizer must leave
+        them float (path whitelist), or flax's normal path receives a
+        dict kernel (regression: crashed the MitoNet int8 engine)."""
+        model = create_model("PanopticBiFPNPR", encoder="regnety_200mf",
+                             fpn_layers=1, num_classes=1,
+                             train_num_points=16,
+                             subdivision_num_points=32)
+        # 128^2 minimum: BiFPN's P7 level is input/128
+        x = np.zeros((1, 128, 128, 1), np.float32)
+        variables = model.init(
+            {"params": jax.random.key(0), "points": jax.random.key(1),
+             "dropout": jax.random.key(2)}, x, train=False)
+        scales = calibrate_activations(
+            model, variables, _calib_batches(1, size=128),
+            apply_kwargs=APPLY_KW)
+        qvars = quantize_variables_int8(variables, scales.keys())
+        q = Int8Module(model, scales)
+        out = q.apply(qvars, jnp.asarray(x), **APPLY_KW)
+        assert np.isfinite(np.asarray(out["sem_logits"])).all()
+        n = int8_conv_count(lambda v, im: q.apply(v, im, **APPLY_KW),
+                            qvars, jnp.asarray(x))
+        assert n >= 10
+
+
 class TestExportRoundTrip:
     def test_export_load_execute_int8(self, tiny_model, tmp_path):
         model, variables = tiny_model
