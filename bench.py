@@ -4,7 +4,7 @@ End-to-end production 3D inference path (reference pdl_inference3d.py,
 SURVEY §3.2) on the fused blocked engine (inference/fused.py): batched
 MitoNet forward (PanopticBiFPNPR on regnety_6p4gf, bf16) + z-median +
 full panoptic postprocess + on-device run extraction — ONE device
-dispatch per 16 slices over the DEVICE-RESIDENT uint8 volume (one upload
+dispatch per 8 slices over the streaming or DEVICE-RESIDENT uint8 volume (one upload
 total, zero per-block image H2D) — with RLE conversion + Hungarian
 matching running on an overlapped host thread. Everything a real volume
 pass does except disk IO.
@@ -117,25 +117,28 @@ def main():
 
     label_divisor = 1000
     engines = {
-        # streaming: per-block uint8 upload on a prefetch thread
+        # streaming: per-block uint8 upload on a prefetch thread.
+        # block 8 / depth 4 measured fastest (smaller blocks pipeline
+        # better now that the per-block kernels are cheap; sweep history
+        # in docs/performance.md)
         "stream": FusedStackEngine(
-            model, variables, thing_list=[1], block_size=16,
+            model, variables, thing_list=[1], block_size=8,
             label_divisor=label_divisor, median_kernel_size=3,
             padding_factor=128, coarse_boundaries=True, max_centers=256,
-            device_norms={"mean": 0.57, "std": 0.12}, pipeline_depth=2),
+            device_norms={"mean": 0.57, "std": 0.12}, pipeline_depth=4),
         # device-resident volume, lax.scan of 3 blocks per dispatch
         "resident": FusedStackEngine(
-            model, variables, thing_list=[1], block_size=16,
+            model, variables, thing_list=[1], block_size=8,
             label_divisor=label_divisor, median_kernel_size=3,
             padding_factor=128, coarse_boundaries=True, max_centers=256,
-            device_norms={"mean": 0.57, "std": 0.12}, pipeline_depth=2,
+            device_norms={"mean": 0.57, "std": 0.12}, pipeline_depth=4,
             scan_blocks=3),
         # executing int8 (streaming transport)
         "int8": FusedStackEngine(
-            int8_model, qvars, thing_list=[1], block_size=16,
+            int8_model, qvars, thing_list=[1], block_size=8,
             label_divisor=label_divisor, median_kernel_size=3,
             padding_factor=128, coarse_boundaries=True, max_centers=256,
-            device_norms={"mean": 0.57, "std": 0.12}, pipeline_depth=2),
+            device_norms={"mean": 0.57, "std": 0.12}, pipeline_depth=4),
     }
 
     def blocks(mode):
