@@ -118,27 +118,27 @@ def main():
     label_divisor = 1000
     engines = {
         # streaming: per-block uint8 upload on a prefetch thread.
-        # block 8 / depth 4 measured fastest (smaller blocks pipeline
+        # block 8 / depth 8 measured fastest (smaller blocks pipeline
         # better now that the per-block kernels are cheap; sweep history
         # in docs/performance.md)
         "stream": FusedStackEngine(
             model, variables, thing_list=[1], block_size=8,
             label_divisor=label_divisor, median_kernel_size=3,
             padding_factor=128, coarse_boundaries=True, max_centers=256,
-            device_norms={"mean": 0.57, "std": 0.12}, pipeline_depth=4),
+            device_norms={"mean": 0.57, "std": 0.12}, pipeline_depth=8),
         # device-resident volume, lax.scan of 3 blocks per dispatch
         "resident": FusedStackEngine(
             model, variables, thing_list=[1], block_size=8,
             label_divisor=label_divisor, median_kernel_size=3,
             padding_factor=128, coarse_boundaries=True, max_centers=256,
-            device_norms={"mean": 0.57, "std": 0.12}, pipeline_depth=4,
+            device_norms={"mean": 0.57, "std": 0.12}, pipeline_depth=8,
             scan_blocks=3),
         # executing int8 (streaming transport)
         "int8": FusedStackEngine(
             int8_model, qvars, thing_list=[1], block_size=8,
             label_divisor=label_divisor, median_kernel_size=3,
             padding_factor=128, coarse_boundaries=True, max_centers=256,
-            device_norms={"mean": 0.57, "std": 0.12}, pipeline_depth=4),
+            device_norms={"mean": 0.57, "std": 0.12}, pipeline_depth=8),
     }
 
     def blocks(mode):
