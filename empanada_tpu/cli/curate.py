@@ -81,8 +81,7 @@ def main(argv=None):
                 "patch_masks": [pd["patch_masks"][i] for i in keep]
                 if pd["patch_masks"] else [],
             }
-            cur.organize_patches({os.path.basename(imp): out}
-                                 if out["patch_masks"] else {},
+            cur.organize_patches({os.path.basename(imp): out},
                                  args.save_dir)
             print(f"{imp}: kept {len(keep)}/{len(pd['hashes'])} patches")
     elif args.cmd == "flipbooks":

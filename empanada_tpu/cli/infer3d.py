@@ -156,15 +156,8 @@ def run_inference3d(
         rle_stack = fm.finish()
         assert len(rle_stack) == n, (len(rle_stack), n)
 
-        for rev_idx, rle_seg in patterns.backward_matching(
-                rle_stack, matchers, n):
-            patterns.update_trackers(rle_seg, rev_idx, trackers[axis_name])
-        patterns.finish_tracking(trackers[axis_name])
-        for tracker in trackers[axis_name]:
-            patterns.apply_filters(tracker, [
-                {"name": "remove_small_objects", "min_size": min_size},
-                {"name": "remove_pancakes", "min_span": min_span},
-            ])
+        patterns.finish_axis(rle_stack, matchers, trackers[axis_name], n,
+                             min_size, min_span)
         if progress:
             print(f"[{axis_name}] {n} slices in {time.time() - t_axis:.1f}s")
         if pan_stack is not None:
@@ -173,29 +166,11 @@ def run_inference3d(
                                  f"panoptic_{axis_name}.npy"),
                     np.stack(pan_stack))
 
-    # per-class consensus
-    consensus = {}
-    for class_id in labels:
-        class_trackers = patterns.get_axis_trackers_by_class(
-            trackers, class_id)
-        if mode == "stack":
-            consensus[class_id] = class_trackers[0]
-            continue
-        if class_id in thing_list:
-            consensus[class_id] = patterns.create_instance_consensus(
-                class_trackers, pixel_vote_thr_count, cluster_iou_thr,
-                bypass=one_view)
-            # the reference re-filters the consensus tracker too
-            # (pdl_inference3d.py:218-219): voted intersections can fall
-            # below the size/span thresholds even when every axis passed
-            patterns.apply_filters(consensus[class_id], [
-                {"name": "remove_small_objects", "min_size": min_size},
-                {"name": "remove_pancakes", "min_span": min_span},
-            ])
-        else:
-            consensus[class_id] = patterns.create_semantic_consensus(
-                class_trackers, pixel_vote_thr_count)
-    return consensus
+    return patterns.build_consensus(
+        trackers, labels, thing_list, mode=mode,
+        pixel_vote_thr=pixel_vote_thr_count,
+        cluster_iou_thr=cluster_iou_thr, one_view=one_view,
+        min_size=min_size, min_span=min_span)
 
 
 def main(argv=None):

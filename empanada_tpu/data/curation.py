@@ -274,15 +274,17 @@ def organize_patches(patch_dicts, save_dir):
         dataset = dataset_name_from_file(src_name)
         ddir = os.path.join(save_dir, dataset)
         os.makedirs(os.path.join(ddir, "images"), exist_ok=True)
-        os.makedirs(os.path.join(ddir, "masks"), exist_ok=True)
-        for fn, img, msk in zip(pd["names"], pd["patches"],
-                                pd["patch_masks"]):
+        masks = pd.get("patch_masks") or None
+        if masks is not None:
+            os.makedirs(os.path.join(ddir, "masks"), exist_ok=True)
+        for j, (fn, img) in enumerate(zip(pd["names"], pd["patches"])):
             ip = os.path.join(ddir, f"images/{fn}.tiff")
             if os.path.exists(ip):
                 continue
             cv2.imwrite(ip, np.asarray(img))
-            cv2.imwrite(os.path.join(ddir, f"masks/{fn}.tiff"),
-                        np.asarray(msk))
+            if masks is not None:
+                cv2.imwrite(os.path.join(ddir, f"masks/{fn}.tiff"),
+                            np.asarray(masks[j]))
 
 
 # ---------------------------------------------------------------------
@@ -329,8 +331,11 @@ class PatchQualityFilter:
             cv2.resize(np.asarray(p, np.float32), (self.imsize, self.imsize))
             for p in patches
         ])[..., None]
-        lo, hi = xs.min(), xs.max()
-        return (xs - lo) / max(hi - lo, 1e-6)
+        # per-PATCH normalization: a patch's score must not depend on
+        # which other patches share the predict() call
+        lo = xs.min(axis=(1, 2, 3), keepdims=True)
+        hi = xs.max(axis=(1, 2, 3), keepdims=True)
+        return (xs - lo) / np.maximum(hi - lo, 1e-6)
 
     def predict(self, patches, batch_size=64):
         """Confidence that each patch is informative, in [0, 1]."""

@@ -87,6 +87,36 @@ class _PackedView:
             row = row.astype(dtype)
         return row
 
+    def block_until_ready(self):
+        self._group.row(self._i)
+        return self
+
+
+class _BlockView:
+    """One block's (B, oh, ow) pan maps inside a device-stacked
+    (k, B, oh, ow) scan output. Consumers only touch pan on run-budget
+    overflow, so slicing stays lazy on device."""
+
+    def __init__(self, arr, i):
+        self._arr = arr
+        self._i = i
+
+    @property
+    def shape(self):
+        return self._arr.shape[1:]
+
+    def __len__(self):
+        return self._arr.shape[1]
+
+    def __getitem__(self, j):
+        return self._arr[self._i, j]
+
+    def __array__(self, dtype=None, copy=None):
+        out = np.asarray(self._arr[self._i])
+        if dtype is not None and out.dtype != dtype:
+            out = out.astype(dtype)
+        return out
+
 
 class FusedStackEngine:
     """Blocked, fused 3D stack inference engine.
@@ -101,10 +131,15 @@ class FusedStackEngine:
     ``pipeline_depth``: blocks kept in flight past the consumer (>=1
     overlaps the consumer's D2H + host matching with device compute and
     the next uploads; 0 reproduces strict lockstep).
-    ``d2h_group``: stack this many blocks' packed run buffers on device
-    and pull them in ONE transfer (D2H latency is per-OPERATION on
-    remote/tunneled runtimes; grouping divides the op count). Pure data
-    movement — emitted results are identical. Single-device paths only.
+    ``d2h_group``: STREAMING path only — stack this many blocks' packed
+    run buffers on device and pull them in ONE transfer (D2H latency is
+    per-OPERATION on remote/tunneled runtimes; grouping divides the op
+    count). Pure data movement — emitted results are identical.
+    Single-device paths only.
+    ``scan_blocks``: RESIDENT path only — lax.scan this many blocks
+    inside ONE dispatch (carries thread through the scan; outputs come
+    back stacked), dividing dispatch round trips AND D2H ops by k; it
+    supersedes d2h_group there (the scan output is already one buffer).
     """
 
     def __init__(self, module, variables, thing_list, block_size=8,
@@ -113,7 +148,8 @@ class FusedStackEngine:
                  median_kernel_size=3, padding_factor=128,
                  coarse_boundaries=True, max_centers=256,
                  num_classes=None, max_runs=None, mesh=None,
-                 device_norms=None, pipeline_depth=2, d2h_group=1):
+                 device_norms=None, pipeline_depth=2, d2h_group=1,
+                 scan_blocks=1):
         assert median_kernel_size % 2 == 1
         self.module = module
         self.thing_list = list(thing_list)
@@ -133,9 +169,11 @@ class FusedStackEngine:
         self.device_norms = device_norms
         self.pipeline_depth = int(pipeline_depth)
         self.d2h_group = max(int(d2h_group), 1) if mesh is None else 1
+        self.scan_blocks = max(int(scan_blocks), 1)
+        self.last_dispatch_count = 0  # jit calls in the last infer pass
         self._num_classes = num_classes
         self._block_fns = {}  # keyed by (render_steps, upsampling, crop, ...)
-        self._abstract_args = None  # ShapeDtypeStructs of the last dispatch
+        self._abstract_by_fn = {}  # jitted fn -> ShapeDtypeStructs
 
         self._mesh = mesh
         if mesh is not None:
@@ -299,16 +337,22 @@ class FusedStackEngine:
     # -----------------------------------------------------------------
 
     def _build_resident(self, num_classes, render_steps, upsampling,
-                        max_runs, crop, pad_shape, n):
-        """Block function over a DEVICE-RESIDENT volume chunk: instead of
+                        max_runs, crop, pad_shape, n, scan_k):
+        """Scan function over a DEVICE-RESIDENT volume chunk: instead of
         uploading (B, H, W) images per block, the (chunk, ph, pw) volume
         lives in HBM (uint8 = 4 bytes/px less than fp32) and each block
-        dynamic-slices its window on device. Per-block H2D drops to one
-        int32 scalar; ``use_median`` is computed on device from the block
-        start. Requires ``device_norms`` (or a float32 volume)."""
+        dynamic-slices its window on device.
+
+        ``lax.scan`` runs ``scan_k`` consecutive blocks per dispatch —
+        median carries thread through the scan, outputs come back stacked
+        ((k, B, oh, ow) pan + (k, L) packed), so the host pays ONE
+        dispatch round trip and ONE D2H per k blocks. ``use_median`` and
+        the block start are computed on device from a DONATED z0 carry —
+        per-block host scalar commits are synchronous ~22 ms each on
+        tunneled runtimes (tools/probe_resident.py) and would serialize
+        the loop. Requires ``device_norms`` (or a float32 volume)."""
         module = self.module
         B, ks, mid = self.block_size, self.ks, self.mid
-        ph, pw = pad_shape
 
         norms = self.device_norms
         if norms is not None:
@@ -318,15 +362,10 @@ class FusedStackEngine:
         postprocess_one = self._make_postprocess(num_classes, upsampling,
                                                  max_runs, crop)
 
-        def block_fn(variables, carry_sem, carry_ctr, carry_off,
-                     z0_global, chunk, chunk_base):
-            # chunk: (n_chunk, ph, pw) device volume (uint8 or f32);
-            # z0_global rides the DONATED carry (+B per call) and
-            # chunk_base uploads once per chunk — per-block host->device
-            # scalar commits serialize the dispatch loop on tunneled
-            # runtimes (measured ~150 ms/block, tools/probe_resident.py).
-            # Callers guarantee z0 - chunk_base + B <= n_chunk, so
-            # dynamic_slice never clamps.
+        def step(variables, chunk, chunk_base, carry):
+            carry_sem, carry_ctr, carry_off, z0_global = carry
+            # callers guarantee z0 - chunk_base + B <= n_chunk, so
+            # dynamic_slice never clamps
             z0_local = z0_global - chunk_base
             images = jax.lax.dynamic_slice_in_dim(chunk, z0_local, B, 0)
             x = images[..., None].astype(jnp.float32)
@@ -365,10 +404,19 @@ class FusedStackEngine:
             new_carry_sem = allsem[-(ks - 1):] if ks > 1 else allsem[:0]
             new_carry_ctr = allctr[-mid:] if mid > 0 else allctr[:0]
             new_carry_off = alloff[-mid:] if mid > 0 else alloff[:0]
-            return (new_carry_sem, new_carry_ctr, new_carry_off,
-                    z0_global + B, pan, packed.reshape(-1))
+            return ((new_carry_sem, new_carry_ctr, new_carry_off,
+                     z0_global + B), (pan, packed.reshape(-1)))
 
-        return jax.jit(block_fn, donate_argnums=(1, 2, 3, 4))
+        def scan_fn(variables, carry_sem, carry_ctr, carry_off, z0,
+                    chunk, chunk_base):
+            carry = (carry_sem, carry_ctr, carry_off, z0)
+            carry, (pan, packed) = jax.lax.scan(
+                lambda c, _: step(variables, chunk, chunk_base, c),
+                carry, None, length=scan_k)
+            cs, cc, co, z0 = carry
+            return cs, cc, co, z0, pan, packed  # (k, B, oh, ow), (k, L)
+
+        return jax.jit(scan_fn, donate_argnums=(1, 2, 3, 4))
 
     def infer_blocks_resident(self, volume, upsampling=1,
                               chunk_slices=None):
@@ -380,7 +428,12 @@ class FusedStackEngine:
         and leaves dtype native (uint8 + ``device_norms`` is the
         production EM layout)."""
         assert self._mesh is None, "resident path is single-device"
-        assert math.log2(upsampling).is_integer()
+        # the resident path takes the RAW full-res volume; the
+        # downsample-then-render flow needs per-slice host downscaling
+        # (VolumeDataset(scale=)) — use the streaming path for it
+        # (cli/infer3d gates on downsample_f == 1 accordingly)
+        assert upsampling == 1, \
+            "downsampled passes use infer_blocks(dataset, upsampling=)"
         if self.device_norms is None:
             volume = np.asarray(volume, np.float32)
         render_steps = int(2 + math.log2(upsampling))
@@ -400,11 +453,11 @@ class FusedStackEngine:
 
         fn_key = ("resident", render_steps, upsampling, (oh, ow), max_runs,
                   (ph, pw), volume.dtype.str, n)
-        if fn_key not in self._block_fns:
-            self._block_fns[fn_key] = self._build_resident(
-                self._num_classes, render_steps, upsampling, max_runs,
-                (oh, ow), (ph, pw), n)
-        self._block_fn = self._block_fns[fn_key]
+        if not hasattr(self, "_resident_args"):
+            self._resident_args = {}
+        self._resident_args[fn_key] = (
+            self._num_classes, render_steps, upsampling, max_runs,
+            (oh, ow), (ph, pw), n)
 
         n_sem_ch = getattr(self.module, "num_classes", 1)
         h4 = ph // 4 if self.coarse_boundaries else ph
@@ -440,12 +493,20 @@ class FusedStackEngine:
         chunk_starts = list(range(0, n_padded, chunk_len))
         chunks = {0: upload(chunk_starts[0])}
 
+        # scan groups: runs of consecutive blocks inside one chunk; each
+        # group is ONE dispatch (lax.scan) + ONE packed D2H
+        groups = []  # [(ci, [block_start, ...])]
+        for ci, c0 in enumerate(chunk_starts):
+            in_chunk = [s for s in block_starts
+                        if c0 <= s < c0 + chunk_len]
+            for g0 in range(0, len(in_chunk), self.scan_blocks):
+                groups.append((ci, in_chunk[g0:g0 + self.scan_blocks]))
+
         inflight = deque()
-        pending = []
         depth = max(self.pipeline_depth, 0)
         z0 = jnp.int32(block_starts[0])
-        for bi, block_start in enumerate(block_starts):
-            ci = block_start // chunk_len
+        self.last_dispatch_count = 0
+        for gi, (ci, starts) in enumerate(groups):
             if ci + 1 < len(chunk_starts) and (ci + 1) not in chunks:
                 # double-buffer the next chunk while this one computes
                 chunks[ci + 1] = upload(chunk_starts[ci + 1])
@@ -453,35 +514,50 @@ class FusedStackEngine:
                 del chunks[ci - 1]
             chunk, chunk_base = chunks[ci]
 
-            if self._abstract_args is None:
-                self._abstract_args = jax.tree_util.tree_map(
+            fn = self._fn_for_scan_len(fn_key, len(starts))
+            if fn not in self._abstract_by_fn:
+                self._abstract_by_fn[fn] = jax.tree_util.tree_map(
                     lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
                     (self.variables, carry_sem, carry_ctr, carry_off,
                      z0, chunk, chunk_base))
             (carry_sem, carry_ctr, carry_off, z0, pan,
-             packed) = self._block_fn(
+             packed) = fn(
                 self.variables, carry_sem, carry_ctr, carry_off,
                 z0, chunk, chunk_base)
+            self.last_dispatch_count += 1
+            try:
+                packed.copy_to_host_async()
+            except Exception:
+                pass
+            group = _PackedGroup(packed)
 
-            z_indices = [
-                block_start + j - mid
-                if 0 <= block_start + j - mid < n else None
-                for j in range(B)
-            ]
-            pending.append((z_indices, pan, packed))
-            if len(pending) >= self.d2h_group:
-                inflight.extend(self._flush_group(pending))
-                pending = []
+            for i, block_start in enumerate(starts):
+                z_indices = [
+                    block_start + j - mid
+                    if 0 <= block_start + j - mid < n else None
+                    for j in range(B)
+                ]
+                inflight.append((z_indices, _BlockView(pan, i),
+                                 _PackedView(group, i)))
             while len(inflight) > depth:
                 yield inflight.popleft()
-            if block_start + B - mid >= n:
-                break
-        if pending:
-            inflight.extend(self._flush_group(pending))
         while inflight:
             yield inflight.popleft()
 
     # -----------------------------------------------------------------
+
+    def _fn_for_scan_len(self, fn_key, k):
+        """Jitted resident scan fn for a group of k blocks (the tail
+        group of a chunk may be shorter than scan_blocks)."""
+        key = fn_key + (k,)
+        if key not in self._block_fns:
+            self._block_fns[key] = self._build_resident(
+                *self._resident_args[fn_key], scan_k=k)
+        # cost analysis (MFU) reflects the largest scan length in use
+        if getattr(self, "_block_fn_k", 0) <= k:
+            self._block_fn = self._block_fns[key]
+            self._block_fn_k = k
+        return self._block_fns[key]
 
     def _flush_group(self, pending):
         """pending: [(z_indices, pan, packed_dev)] -> emit tuples whose
@@ -506,10 +582,11 @@ class FusedStackEngine:
         """XLA cost analysis (flops, bytes) of the compiled block
         function — for MFU reporting. Available after the first
         dispatch; returns None if unavailable."""
-        if self._abstract_args is None:
+        args = self._abstract_by_fn.get(self._block_fn)
+        if args is None:
             return None
         try:
-            lowered = self._block_fn.lower(*self._abstract_args)
+            lowered = self._block_fn.lower(*args)
             return lowered.compile().cost_analysis()
         except Exception:
             return None
@@ -621,6 +698,7 @@ class FusedStackEngine:
 
         inflight = deque()
         pending = []
+        self.last_dispatch_count = 0
         # grouping needs flat 1D packed buffers (mesh path keeps (B,R,3))
         group_k = self.d2h_group if flat_io else 1
         for bi, block_start in enumerate(block_starts):
@@ -631,14 +709,16 @@ class FusedStackEngine:
             um = jnp.asarray(use_median)
 
             batch = jnp.asarray(batch)
-            if self._abstract_args is None:
-                self._abstract_args = jax.tree_util.tree_map(
-                    lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
-                    (self.variables, carry_sem, carry_ctr, carry_off,
-                     batch, um))
+            if self._block_fn not in self._abstract_by_fn:
+                self._abstract_by_fn[self._block_fn] = \
+                    jax.tree_util.tree_map(
+                        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
+                        (self.variables, carry_sem, carry_ctr, carry_off,
+                         batch, um))
             (carry_sem, carry_ctr, carry_off, pan, packed) = self._block_fn(
                 self.variables, carry_sem, carry_ctr, carry_off,
                 batch, um)
+            self.last_dispatch_count += 1
 
             # map block rows -> z indices (None = padding rows); the full
             # (B, ...) arrays are yielded unsliced so the consumer's D2H

@@ -39,6 +39,8 @@ __all__ = [
     "update_trackers",
     "finish_tracking",
     "apply_filters",
+    "finish_axis",
+    "build_consensus",
     "get_axis_trackers_by_class",
     "create_instance_consensus",
     "create_semantic_consensus",
@@ -235,6 +237,51 @@ def apply_filters(tracker, filters_dict):
     for filt in filters_dict:
         kwargs = {k: v for k, v in filt.items() if k != "name"}
         getattr(_filters_mod, filt["name"])(tracker, **kwargs)
+
+
+def finish_axis(rle_stack, matchers, axis_trackers, n, min_size, min_span):
+    """Shared tail of one axis pass: backward matching over the forward-
+    matched stack, tracking, finish, and the reference's size/span
+    filters (pdl_inference3d.py:152-171). Used by both the single-process
+    driver (cli/infer3d) and the multi-process rank-0 flow
+    (parallel/multihost)."""
+    for rev_idx, rle_seg in backward_matching(rle_stack, matchers, n):
+        update_trackers(rle_seg, rev_idx, axis_trackers)
+    finish_tracking(axis_trackers)
+    for tracker in axis_trackers:
+        apply_filters(tracker, [
+            {"name": "remove_small_objects", "min_size": min_size},
+            {"name": "remove_pancakes", "min_span": min_span},
+        ])
+
+
+def build_consensus(trackers, labels, thing_list, *, mode="orthoplane",
+                    pixel_vote_thr=2, cluster_iou_thr=0.75, one_view=False,
+                    min_size=500, min_span=4):
+    """Per-class cross-axis consensus (reference pdl_inference3d.py:
+    196-226): instance consensus (+ the reference's post-consensus
+    re-filter) for thing classes, pixel-vote semantic consensus for
+    stuff; stack mode passes the single axis through."""
+    consensus = {}
+    for class_id in labels:
+        class_trackers = get_axis_trackers_by_class(trackers, class_id)
+        if mode == "stack":
+            consensus[class_id] = class_trackers[0]
+            continue
+        if class_id in thing_list:
+            consensus[class_id] = create_instance_consensus(
+                class_trackers, pixel_vote_thr, cluster_iou_thr,
+                bypass=one_view)
+            # voted intersections can fall below the size/span thresholds
+            # even when every axis passed (pdl_inference3d.py:218-219)
+            apply_filters(consensus[class_id], [
+                {"name": "remove_small_objects", "min_size": min_size},
+                {"name": "remove_pancakes", "min_span": min_span},
+            ])
+        else:
+            consensus[class_id] = create_semantic_consensus(
+                class_trackers, pixel_vote_thr)
+    return consensus
 
 
 def get_axis_trackers_by_class(trackers, class_id):

@@ -148,18 +148,32 @@ def calibrate_activations(module, variables, batches, percentile=99.99,
         if (context.method_name == "__call__"
                 and isinstance(mod, (nn.Conv, nn.Dense))):
             path = "/".join(mod.path)
-            a = jnp.abs(args[0].astype(jnp.float32))
+            a = jnp.abs(args[0].astype(jnp.float32)).reshape(-1)
             if percentile >= 100.0:
-                m = float(jnp.max(a))
+                records.setdefault(path, []).append(
+                    np.asarray([float(jnp.max(a))], np.float32))
             else:
-                m = float(jnp.percentile(a.reshape(-1), percentile))
-            records[path] = max(records.get(path, 0.0), m)
+                # keep a bounded per-batch abs sample so the percentile
+                # is taken over the POOLED calibration data — a max of
+                # per-batch percentiles converges to the global max as
+                # batches grow, defeating the outlier clipping
+                stride = max(1, a.shape[0] // 65536)
+                records.setdefault(path, []).append(
+                    np.asarray(a[::stride], np.float32))
         return next_fun(*args, **kwargs)
 
     with nn.intercept_methods(interceptor):
         for batch in batches:
             module.apply(variables, jnp.asarray(batch), **apply_kwargs)
-    return {p: m / 127.0 for p, m in records.items() if m > 0}
+
+    scales = {}
+    for path, samples in records.items():
+        pooled = np.concatenate(samples)
+        m = float(np.max(pooled)) if percentile >= 100.0 \
+            else float(np.percentile(pooled, percentile))
+        if m > 0:
+            scales[path] = m / 127.0
+    return scales
 
 
 class Int8Module:

@@ -253,10 +253,27 @@ def _class_select(table, sem_f, num_classes):
 
 def _small_table_lookup_f32(table, idx, n):
     """table[idx] for a small (n,) table over many indices as a one-hot
-    f32 matmul — rides the MXU instead of TPU's slow small-table gather
-    path. Exact for integer-valued tables < 2^24."""
+    matmul — rides the MXU instead of TPU's slow small-table gather path.
+
+    EXACTNESS: TPU matmuls truncate f32 operands to bf16 by default, so
+    this is only exact for integer table values <= 256 (bf16's exact
+    integer range; the one-hot side is 0/1 and accumulation is f32).
+    Callers with larger values must split them into <=256-valued parts
+    (see _instance_paint_tables)."""
     oh = (idx[..., None] == jnp.arange(n, dtype=idx.dtype))
     return oh.astype(jnp.float32) @ table.astype(jnp.float32)
+
+
+def _small_table_lookup_int(table, idx, n):
+    """EXACT non-negative-integer table[idx] (values < 65536) as two
+    base-256 digit lookups — each digit is <= 255 and therefore exact
+    even if the TPU matmul truncates f32 operands to bf16 (measured
+    exact at default precision on v5e + jax 0.9, but the digit split
+    stays correct under any jax_default_matmul_precision setting)."""
+    table = table.astype(jnp.int32)
+    lo = _small_table_lookup_f32(table % 256, idx, n)
+    hi = _small_table_lookup_f32(table // 256, idx, n)
+    return hi.astype(jnp.int32) * 256 + lo.astype(jnp.int32)
 
 
 def _vote_count_table(ins_f, sem_f, mask, n_ins, n_classes):
@@ -324,11 +341,17 @@ def merge_semantic_and_instance_coarse(
     counts = vote_count_table_coarse(
         ins_coarse, sem, thing_mask_table, scale, max_centers + 1,
         num_classes)
-    paint_tbl = _instance_paint_table(counts, label_divisor, max_centers)
-    # paint values are block-constant: look up at coarse res, upsample
-    paint_c = _small_table_lookup_f32(
-        paint_tbl, ins_coarse.reshape(-1), max_centers + 1)
-    paint_c = paint_c.astype(jnp.int32).reshape(ins_coarse.shape)
+    cls_tbl, nid_tbl = _instance_paint_tables(counts, max_centers)
+    # paint values are block-constant: look up at coarse res, upsample;
+    # class and renumbered-id ride separate EXACT digit lookups and
+    # combine on the VPU (paint = cls * label_divisor + nid can exceed
+    # the matmul-exact range)
+    kk = max_centers + 1
+    idx = ins_coarse.reshape(-1)
+    cls_c = _small_table_lookup_int(cls_tbl, idx, kk)
+    nid_c = _small_table_lookup_int(nid_tbl, idx, kk)
+    paint_c = jnp.where(nid_c > 0, cls_c * label_divisor + nid_c, 0)
+    paint_c = paint_c.reshape(ins_coarse.shape)
     paint = jnp.repeat(jnp.repeat(paint_c, scale, axis=0), scale, axis=1)
     ins = jnp.repeat(jnp.repeat(ins_coarse, scale, axis=0), scale, axis=1)
     return _paint_panoptic(sem, ins, paint, thing_mask_table,
@@ -336,11 +359,12 @@ def merge_semantic_and_instance_coarse(
                            num_classes)
 
 
-def _instance_paint_table(counts, label_divisor, max_centers):
-    """(K+1,) paint value per instance id: majority class * label_divisor
-    + per-class 1-based renumbering in ascending instance-id order; 0 for
-    absent instances (paint > 0 <=> instance present, since present
-    instances always get new_id >= 1)."""
+def _instance_paint_tables(counts, max_centers):
+    """Per-instance (majority class, per-class 1-based renumbering)
+    tables, each (K+1,) int32 with 0 marking absent instances (present
+    instances always get new_id >= 1). Kept as SEPARATE tables so the
+    exact digit-matmul lookup applies (combined paint ids overflow the
+    exact range at production label_divisors)."""
     counts = counts.at[0].set(0)  # drop the dump row
     inst_area = counts.sum(axis=1)                 # (K+1,)
     inst_class = jnp.argmax(counts, axis=1).astype(jnp.int32)
@@ -352,9 +376,7 @@ def _instance_paint_table(counts, label_divisor, max_centers):
     lower = (jnp.arange(kk)[None, :] < jnp.arange(kk)[:, None])
     prior = jnp.sum(same_class & lower & inst_present[None, :], axis=1)
     new_id = jnp.where(inst_present, prior.astype(jnp.int32) + 1, 0)
-
-    pan_thing_val = inst_class * label_divisor + new_id        # (K+1,)
-    return jnp.where(inst_present, pan_thing_val, 0)
+    return inst_class, new_id
 
 
 def _paint_panoptic(sem, ins, paint, thing_mask_table, label_divisor,
@@ -392,10 +414,12 @@ def _paint_panoptic(sem, ins, paint, thing_mask_table, label_divisor,
 
 def _merge_from_counts(sem, ins, counts, thing_mask_table, label_divisor,
                        stuff_area, void_label, max_centers, num_classes):
-    paint_tbl = _instance_paint_table(counts, label_divisor, max_centers)
+    cls_tbl, nid_tbl = _instance_paint_tables(counts, max_centers)
+    kk = max_centers + 1
     ins_f = ins.reshape(-1)
-    paint = _small_table_lookup_f32(
-        paint_tbl, ins_f, max_centers + 1).astype(jnp.int32)
+    cls = _small_table_lookup_int(cls_tbl, ins_f, kk)
+    nid = _small_table_lookup_int(nid_tbl, ins_f, kk)
+    paint = jnp.where(nid > 0, cls * label_divisor + nid, 0)
     return _paint_panoptic(sem, ins, paint.reshape(ins.shape),
                            thing_mask_table, label_divisor, stuff_area,
                            void_label, num_classes)

@@ -59,14 +59,15 @@ def initialize_distributed(coordinator_address=None, num_processes=None,
                            process_id=None):
     """Multi-host bring-up (replaces dist.init_process_group,
     reference train.py:118). No-op when single-process. Must run before
-    the first backend use. On CPU hosts (tests, CPU serving) the gloo
-    collectives implementation is selected so cross-process collectives
-    actually ride a fabric (TPU slices use their own runtime and ignore
-    the CPU setting)."""
+    the first backend use. The gloo CPU-collectives implementation is
+    always selected so multi-process runs that RESOLVE to the CPU
+    backend (tests, CPU serving, auto-detected CPU hosts — the platform
+    may not be known before backend init) get working cross-process
+    collectives; TPU slices use their own runtime and ignore the CPU
+    client's setting."""
     if num_processes is None or num_processes <= 1:
         return
-    if jax.config.jax_platforms and "cpu" in str(jax.config.jax_platforms):
-        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,

@@ -140,43 +140,22 @@ def multihost_run_inference3d(
         assert sorted(by_z) == list(range(n)), "shard coverage hole"
 
         # rank 0 runs the single-process matching flow over the ordered
-        # stack (reference rank-0 matching, inference3d_multigpu.py:318)
+        # stack (reference rank-0 matching, inference3d_multigpu.py:318);
+        # the tail is the EXACT shared helper cli/infer3d uses
         matchers = patterns.create_matchers(thing_list, label_divisor,
                                             iou_thr, ioa_thr)
         rle_stack = []
         for z in range(n):
             rle_stack.append(patterns.apply_matchers(by_z[z], matchers))
-        for rev_idx, rle_seg in patterns.backward_matching(
-                rle_stack, matchers, n):
-            patterns.update_trackers(rle_seg, rev_idx, trackers[axis_name])
-        patterns.finish_tracking(trackers[axis_name])
-        for tracker in trackers[axis_name]:
-            patterns.apply_filters(tracker, [
-                {"name": "remove_small_objects", "min_size": min_size},
-                {"name": "remove_pancakes", "min_span": min_span},
-            ])
+        patterns.finish_axis(rle_stack, matchers, trackers[axis_name], n,
+                             min_size, min_span)
         if progress:
             print(f"[{axis_name}] {n} slices over {world} processes")
 
     if rank != 0:
         return None
 
-    consensus = {}
-    for class_id in labels:
-        class_trackers = patterns.get_axis_trackers_by_class(
-            trackers, class_id)
-        if mode == "stack":
-            consensus[class_id] = class_trackers[0]
-            continue
-        if class_id in thing_list:
-            consensus[class_id] = patterns.create_instance_consensus(
-                class_trackers, pixel_vote_thr, cluster_iou_thr,
-                bypass=one_view)
-            patterns.apply_filters(consensus[class_id], [
-                {"name": "remove_small_objects", "min_size": min_size},
-                {"name": "remove_pancakes", "min_span": min_span},
-            ])
-        else:
-            consensus[class_id] = patterns.create_semantic_consensus(
-                class_trackers, pixel_vote_thr)
-    return consensus
+    return patterns.build_consensus(
+        trackers, labels, thing_list, mode=mode,
+        pixel_vote_thr=pixel_vote_thr, cluster_iou_thr=cluster_iou_thr,
+        one_view=one_view, min_size=min_size, min_span=min_span)

@@ -167,11 +167,14 @@ def test_device_norms_matches_host_normalize(model_and_vol):
         assert agree == 1.0, (z, agree)
 
 
-@pytest.mark.parametrize("chunk_slices", [None, 4, 8])
-def test_resident_volume_matches_streaming(model_and_vol, chunk_slices):
+@pytest.mark.parametrize("chunk_slices,scan_blocks", [
+    (None, 1), (4, 1), (8, 1), (None, 2), (None, 3), (8, 2)])
+def test_resident_volume_matches_streaming(model_and_vol, chunk_slices,
+                                           scan_blocks):
     """The device-resident volume path (upload once, dynamic-slice blocks
-    on device, use_median computed on device) must emit EXACTLY the
-    streaming engine's maps and runs, including at chunk boundaries."""
+    on device, use_median computed on device, lax.scan over scan_blocks
+    per dispatch) must emit EXACTLY the streaming engine's maps and runs,
+    including at chunk boundaries and ragged tail scan groups."""
     model, variables, _ = model_and_vol
     rng = np.random.default_rng(13)
     D, H, W = 11, 30, 27
@@ -190,7 +193,8 @@ def test_resident_volume_matches_streaming(model_and_vol, chunk_slices):
                   median_kernel_size=3, padding_factor=16, max_centers=64,
                   block_size=4, device_norms={"mean": 0.5, "std": 0.2})
     stream = FusedStackEngine(model, variables, **kwargs)
-    resident = FusedStackEngine(model, variables, **kwargs)
+    resident = FusedStackEngine(model, variables, scan_blocks=scan_blocks,
+                                **kwargs)
 
     def collect_blocks(block_iter, B):
         got = {}

@@ -214,3 +214,22 @@ def test_coarse_merge_matches_full():
             max_centers, num_classes)
         np.testing.assert_array_equal(np.asarray(full), np.asarray(coarse),
                                       err_msg=f"trial {trial}")
+
+
+class TestSmallTableLookup:
+    def test_digit_lookup_exact_large_values(self):
+        """The paint-table lookup must be exact for production pan ids
+        (class * label_divisor + id can exceed bf16's 256-integer exact
+        range; the digit split keeps each matmul operand <= 255).
+        Verified exact on the real TPU 2026-08-17; this pins the CPU
+        semantics."""
+        from empanada_tpu.ops.postprocess import _small_table_lookup_int
+
+        rng = np.random.default_rng(0)
+        n = 257
+        table = jnp.asarray(rng.integers(0, 65536, (n,), dtype=np.int32))
+        idx = jnp.asarray(rng.integers(0, n, (5000,), dtype=np.int32))
+        got = np.asarray(jax.jit(
+            lambda t, i: _small_table_lookup_int(t, i, n))(table, idx))
+        want = np.asarray(table)[np.asarray(idx)]
+        assert np.array_equal(got, want)
