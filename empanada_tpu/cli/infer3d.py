@@ -62,6 +62,10 @@ def parse_args(argv=None):
                              "(0 = single device)")
     parser.add_argument("--one-view", action="store_true")
     parser.add_argument("--fine-boundaries", action="store_true")
+    parser.add_argument("--quantized", action="store_true",
+                        help="load the executing-int8 artifact from the "
+                             "descriptor (export --quantize with "
+                             "calibration; models/quantization.py)")
     parser.add_argument("--use-cpu", action="store_true",
                         help="Force inference on CPU (reference parity)")
     parser.add_argument("--save-panoptic", action="store_true")
@@ -191,7 +195,8 @@ def main(argv=None):
     from empanada_tpu.export import load_exported_model
     from empanada_tpu.inference import patterns
 
-    model, desc = load_exported_model(args.config)
+    model, desc = load_exported_model(args.config,
+                                      quantized=args.quantized)
     path = args.volume_path
     if args.data_key and os.path.isdir(path):
         # reference supports comma-separated keys: use the first that

@@ -180,6 +180,39 @@ class TestExportRoundTrip:
         assert not isinstance(jm2.module, Int8Module)
 
 
+class TestQuantizedDeployment:
+    def test_int8_model_through_run_inference3d(self, tiny_model,
+                                                tmp_path):
+        """The full deployment flow the --quantized CLI flag drives:
+        export with calibration -> load int8 -> production 3D inference
+        (fused engine + matching + tracking + consensus) completes with
+        finite outputs."""
+        import numpy as np
+
+        from empanada_tpu.cli.infer3d import run_inference3d
+
+        model, variables = tiny_model
+        model_config = {"arch": "PanopticDeepLabPR", "encoder": "resnet18",
+                        "num_classes": 1, "train_num_points": 32,
+                        "subdivision_num_points": 64}
+        export_model(variables, model_config, str(tmp_path), "tiny",
+                     quantize=True, calibration_data=_calib_batches(1),
+                     input_shape=(1, 64, 64, 1))
+        jm, desc = load_exported_model(str(tmp_path / "tiny.yaml"),
+                                       quantized=True)
+        assert isinstance(jm.module, Int8Module)
+
+        vol = (np.random.default_rng(2).random((6, 64, 64)) * 255) \
+            .astype(np.uint8)
+        consensus = run_inference3d(
+            jm, vol, labels=[1], thing_list=[1], mode="stack",
+            qlen=3, label_divisor=1000, min_size=1, min_span=1,
+            block_size=4, padding_factor=16,
+            norms=desc["norms"], progress=False)
+        assert set(consensus) == {1}
+        assert consensus[1].finished
+
+
 @pytest.mark.slow
 class TestPQDelta:
     def test_trained_model_pq_after_quantization(self, tmp_path):
