@@ -28,6 +28,11 @@ def parse_args(argv=None):
         description="Runs empanada_tpu model inference.")
     parser.add_argument("config", type=str,
                         help="Path to an exported model descriptor yaml")
+    parser.add_argument("-infer-config", type=str, dest="infer_config",
+                        default=None,
+                        help="Inference recipe yaml (configs/median_"
+                             "inference_*.yaml, BASE-inherited); its keys"
+                             " become flag defaults, explicit flags win")
     parser.add_argument("volume_path", type=str,
                         help="Path to a zarr/tiff/npy volume")
     parser.add_argument("-data-key", type=str, default=None,
@@ -69,6 +74,23 @@ def parse_args(argv=None):
     parser.add_argument("--use-cpu", action="store_true",
                         help="Force inference on CPU (reference parity)")
     parser.add_argument("--save-panoptic", action="store_true")
+
+    # recipe yaml (reference per-dataset configs, e.g.
+    # projects/mitonet/configs/mmm_median_inference_lucchi.yaml) provides
+    # flag DEFAULTS; anything the user types explicitly still wins
+    import sys
+
+    scan = list(sys.argv[1:] if argv is None else argv)
+    if "-infer-config" in scan:
+        from empanada_tpu.config import load_config
+
+        recipe = load_config(scan[scan.index("-infer-config") + 1])
+        recipe.pop("BASE", None)
+        dests = {a.dest for a in parser._actions}
+        unknown = set(recipe) - dests
+        if unknown:
+            raise SystemExit(f"-infer-config: unknown keys {sorted(unknown)}")
+        parser.set_defaults(**recipe)
     return parser.parse_args(argv)
 
 
@@ -79,7 +101,7 @@ def run_inference3d(
     pixel_vote_thr=2, cluster_iou_thr=0.75, min_size=500, min_span=4,
     downsample_f=1, one_view=False, fine_boundaries=False,
     padding_factor=128, max_centers=256, save_panoptic_dir=None,
-    progress=True, block_size=8, mesh=None, norms=None,
+    progress=True, block_size=8, mesh=None, norms=None, tfs=None,
 ):
     """Full 3D inference; returns {class_id: consensus InstanceTracker}.
 
@@ -99,10 +121,22 @@ def run_inference3d(
 
     # the reference normalizes volume slices with the exported model's
     # norms (pdl_inference3d.py dataset transforms); we apply the same
-    # Normalize formula ON DEVICE (fused.py device_norms) so uint8
-    # volumes upload 4x smaller — host<->device bytes are the deployment
-    # bottleneck (docs/performance.md)
-    tfs = None
+    # Normalize formula ON DEVICE (fused.py device_norms) on EVERY path,
+    # including the downsampled streaming one, so uint8 volumes upload 4x
+    # smaller — host<->device bytes are the deployment bottleneck
+    # (docs/performance.md). A caller-supplied host-side ``tfs`` (applied
+    # per slice in VolumeDataset) takes precedence; an integer-typed
+    # volume with neither is an error, not a silent 0-255 forward.
+    if tfs is not None:
+        device_norms = None
+    else:
+        device_norms = norms
+        if norms is None and np.issubdtype(
+                np.dtype(getattr(volume, "dtype", np.float32)), np.integer):
+            raise ValueError(
+                "integer-typed volume with no normalization: pass norms="
+                "{'mean':..,'std':..} (exported descriptors always carry"
+                " one) or a host-side tfs")
 
     shape = tuple(volume.shape)
     axes = {"xy": 0} if mode == "stack" else {"xy": 0, "xz": 1, "yz": 2}
@@ -126,7 +160,7 @@ def run_inference3d(
             max_centers=max_centers,
             stuff_area=0,
             mesh=mesh,
-            device_norms=norms,
+            device_norms=device_norms,
         )
         matchers = patterns.create_matchers(
             thing_list, label_divisor, iou_thr, ioa_thr)
@@ -141,7 +175,7 @@ def run_inference3d(
         # dynamic-sliced on device — no per-block image H2D. Falls back
         # to the streaming dataset path for meshes / host-side transforms
         # / downsampled passes.
-        if mesh is None and downsample_f == 1 and norms is not None \
+        if mesh is None and downsample_f == 1 and device_norms is not None \
                 and isinstance(volume, np.ndarray):
             vol_view = volume if axis == 0 else np.moveaxis(volume, axis, 0)
             block_iter = engine.infer_blocks_resident(vol_view)

@@ -78,3 +78,47 @@ def test_downsampled_consensus_reconstructs_object():
         union = np.logical_or(out > 0, gt).sum()
         iou = inter / union
         assert iou >= min_iou, (f, iou)
+
+
+def test_downsampled_uint8_volume_is_normalized():
+    """Regression (round-2 VERDICT weak #7): a uint8 volume with
+    descriptor norms and downsample_f>1 takes the STREAMING path, which
+    must still apply (x/255 - mean)/std on device. Before the fix the
+    host tfs was dead and the raw 0-255 floats hit the model."""
+    from empanada_tpu.cli.infer3d import run_inference3d
+    from empanada_tpu.inference import patterns
+
+    shape = (12, 65, 47)
+    _, gt = _blob_volume(shape, (6, 32, 23), (4, 22, 16))
+    # blob 229/255=0.9, bg 25/255=0.1; norms (0.2, 0.5) puts the blob at
+    # 1.4 and background at -0.2 around the module's 0.5 threshold
+    vol_u8 = np.where(gt, 229, 25).astype(np.uint8)
+    norms = {"mean": 0.2, "std": 0.5}
+    vol_f32 = ((vol_u8.astype(np.float32) / 255.0 - 0.2) / 0.5)
+
+    kw = dict(labels=[1], thing_list=[1], mode="stack", qlen=3,
+              label_divisor=100, seg_thr=0.5, nms_thr=0.1, nms_kernel=3,
+              iou_thr=0.25, ioa_thr=0.25, pixel_vote_thr=2,
+              cluster_iou_thr=0.75, min_size=50, min_span=2,
+              downsample_f=2, padding_factor=16, max_centers=64,
+              block_size=4, progress=False)
+    outs = []
+    for vol, n in ((vol_u8, norms), (vol_f32, None)):
+        consensus = run_inference3d((SyntheticModule(), {}), vol,
+                                    norms=n, **kw)
+        assert len(consensus[1].instances) == 1
+        out = np.zeros(shape, np.uint32)
+        patterns.fill_volume(out, consensus[1].instances, processes=1)
+        outs.append(out > 0)
+    inter = np.logical_and(*outs).sum()
+    union = np.logical_or(*outs).sum()
+    assert inter / union >= 0.99, inter / union
+
+
+def test_integer_volume_without_norms_raises():
+    from empanada_tpu.cli.infer3d import run_inference3d
+
+    vol = np.zeros((8, 32, 32), np.uint8)
+    with pytest.raises(ValueError, match="normalization"):
+        run_inference3d((SyntheticModule(), {}), vol, labels=[1],
+                        thing_list=[1], progress=False)
