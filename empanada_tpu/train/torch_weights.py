@@ -17,7 +17,7 @@ import numpy as np
 from flax import traverse_util
 
 __all__ = ["load_torch_state_dict", "convert_encoder_state_dict",
-           "load_encoder_pretraining"]
+           "convert_flax_to_torch_state_dict", "load_encoder_pretraining"]
 
 
 def load_torch_state_dict(path):
@@ -216,6 +216,110 @@ def convert_encoder_state_dict(sd, params, batch_stats):
     report = {"matched": len(matched), "leftover": leftovers}
     return (traverse_util.unflatten_dict(new_p),
             traverse_util.unflatten_dict(new_s), report)
+
+
+def convert_flax_to_torch_state_dict(sd_template, params, batch_stats=None):
+    """Inverse of :func:`convert_encoder_state_dict`: fill a torch
+    state-dict TEMPLATE (from a same-architecture reference model's
+    ``.state_dict()``) with this framework's flax values.
+
+    Deploys trained empanada_tpu models into the reference torch
+    ecosystem (reference scripts/export_model.py torchscript artifacts,
+    napari plugin) and powers the end-to-end accuracy-parity harness
+    (tools/parity_e2e.py). Uses the same structural-order matching as
+    the forward direction; transforms are the exact inverses
+    (HWIO->OIHW, spatial un-flip for transpose convs, Dense->Conv1d).
+
+    Returns (state_dict, report). Template-only entries (classification
+    ``fc.``, ``num_batches_tracked``) keep their template values; keys
+    aliased by weight sharing (the reference BiFPN's shared
+    after-combine convs) all receive the shared tensor.
+    """
+    import torch
+
+    # alias groups: modules shared across an nn.ModuleList appear once
+    # per registration with the same storage — every later key mirrors
+    # the first
+    ptr_first, aliases = {}, {}
+    for k, v in sd_template.items():
+        if hasattr(v, "data_ptr"):
+            ptr = (v.data_ptr(), tuple(v.shape))
+            if ptr in ptr_first:
+                aliases[k] = ptr_first[ptr]
+            else:
+                ptr_first[ptr] = k
+
+    (convs, conv_biases, bn_scales, bn_biases, bn_means, bn_vars,
+     fusion_weights, convs1d) = _classify_torch(sd_template)
+    queues = {
+        "kernel": list(convs),
+        "conv_bias": list(conv_biases),
+        "scale": list(bn_scales),
+        "bn_bias": list(bn_biases),
+        "mean": list(bn_means),
+        "var": list(bn_vars),
+        "fusion": list(fusion_weights),
+        "kernel1d": list(convs1d),
+    }
+
+    out = {k: v for k, v in sd_template.items()}
+    matched = []
+
+    def give(queue_name, path, value, transform=None):
+        queue = queues[queue_name]
+        if not queue:
+            raise ValueError(f"torch template ran out of {queue_name} "
+                             f"params at flax path {'/'.join(path)}")
+        k, tv = queue.pop(0)
+        v = np.asarray(value, dtype=np.float32)
+        if transform is not None:
+            v = transform(v)
+        if tuple(v.shape) != tuple(tv.shape):
+            raise ValueError(
+                f"shape mismatch {'/'.join(path)} {v.shape} -> "
+                f"{k} {tuple(tv.shape)}")
+        out[k] = torch.from_numpy(np.array(v, np.float32, copy=True))
+        matched.append(("/".join(path), k))
+
+    flat_p_raw = traverse_util.flatten_dict(params)
+    flat_p = {k: flat_p_raw[k] for k in _registration_order(flat_p_raw)}
+    flat_s_raw = traverse_util.flatten_dict(batch_stats) \
+        if batch_stats else {}
+    flat_s = {k: flat_s_raw[k] for k in _registration_order(flat_s_raw)}
+
+    for path, p in flat_p.items():
+        leaf = path[-1]
+        in_bn = any("BatchNorm" in seg for seg in path)
+        in_tconv = any("ConvTranspose" in seg for seg in path)
+        if leaf == "kernel" and p.ndim == 4 and in_tconv:
+            give("kernel", path, p,
+                 lambda v: v[::-1, ::-1].transpose(2, 3, 0, 1))
+        elif leaf == "kernel" and p.ndim == 4:
+            give("kernel", path, p, lambda v: v.transpose(3, 2, 0, 1))
+        elif leaf == "kernel" and p.ndim == 2:
+            give("kernel1d", path, p, lambda v: v.T[:, :, None])
+        elif leaf == "scale" and in_bn:
+            give("scale", path, p)
+        elif leaf == "bias" and in_bn:
+            give("bn_bias", path, p)
+        elif leaf == "bias":
+            give("conv_bias", path, p)
+        elif leaf == "fusion_weights":
+            give("fusion", path, p)
+
+    for path, s in flat_s.items():
+        leaf = path[-1]
+        if leaf == "mean":
+            give("mean", path, s)
+        elif leaf == "var":
+            give("var", path, s)
+
+    for k, first in aliases.items():
+        out[k] = out[first]
+
+    leftovers = {k: len(q) for k, q in queues.items() if q}
+    report = {"matched": len(matched), "leftover": leftovers}
+    return out, report
 
 
 def load_encoder_pretraining(variables, path, encoder_key="encoder_mod"):

@@ -90,6 +90,7 @@ def test_fused_runs_feed_matcher(model_and_vol):
     assert len(rle_stack) == len(vol)
 
 
+@pytest.mark.slow
 def test_shallow_volume_orthoplane_axes(model_and_vol):
     """Shallow volumes make tiny coarse NMS grids on xz/yz axes; the
     center budget must clamp to the grid size (regression)."""
@@ -119,6 +120,7 @@ def test_shallow_volume_orthoplane_axes(model_and_vol):
         assert len(out) == vol.shape[axis]
 
 
+@pytest.mark.slow
 def test_device_norms_matches_host_normalize(model_and_vol):
     """uint8 upload + on-device Normalize must reproduce the host
     Normalize path: (x/255 - mean)/std in f32 on both sides
@@ -169,6 +171,7 @@ def test_device_norms_matches_host_normalize(model_and_vol):
 
 @pytest.mark.parametrize("chunk_slices,scan_blocks", [
     (None, 1), (4, 1), (8, 1), (None, 2), (None, 3), (8, 2)])
+@pytest.mark.slow
 def test_resident_volume_matches_streaming(model_and_vol, chunk_slices,
                                            scan_blocks):
     """The device-resident volume path (upload once, dynamic-slice blocks
@@ -216,6 +219,7 @@ def test_resident_volume_matches_streaming(model_and_vol, chunk_slices,
         assert np.array_equal(got_s[z][1], got_r[z][1]), z
 
 
+@pytest.mark.slow
 def test_pipeline_depth_invariance(model_and_vol):
     """Emitted maps must not depend on how many blocks stay in flight."""
     model, variables, vol = model_and_vol
@@ -233,6 +237,7 @@ def test_pipeline_depth_invariance(model_and_vol):
             assert np.array_equal(got[z], ref[z]), (depth, z)
 
 
+@pytest.mark.slow
 def test_d2h_group_invariance(model_and_vol):
     """Grouping k blocks' packed buffers into one transfer is pure data
     movement: maps and runs must be identical for any group size,

@@ -67,6 +67,7 @@ class TestPanopticDeepLabPR:
         assert out["offsets"].shape == (1, 16, 16, 2)
 
 
+@pytest.mark.slow
 class TestPanopticBiFPN:
     @pytest.mark.parametrize("arch", ["PanopticBiFPN", "PanopticBiFPNPR"])
     def test_forward_shapes(self, arch):

@@ -33,6 +33,7 @@ class TestShardBatch:
         assert len(sharded["image"].sharding.device_set) == 8
 
 
+@pytest.mark.slow
 class TestDataParallelSemantics:
     def test_dp8_matches_single_device_step(self):
         """One jitted train step on the 8-device mesh vs the same step
@@ -48,6 +49,7 @@ class TestDataParallelSemantics:
         graft._dryrun_impl(8)
 
 
+@pytest.mark.slow
 class TestMeshFusedEngine:
     def test_mesh_fused_matches_single_device_exactly(self, small_model):
         """THE production multi-chip inference path: FusedStackEngine
@@ -92,6 +94,7 @@ class TestMeshFusedEngine:
             assert np.array_equal(got_s[z][1], got_m[z][1]), z
 
 
+@pytest.mark.slow
 class TestSliceParallel:
     def test_matches_single_device_engine(self, small_model):
         model, variables = small_model

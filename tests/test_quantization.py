@@ -45,6 +45,7 @@ def _calib_batches(n=4, size=64, seed=3):
 APPLY_KW = dict(train=False, render_steps=2, interpolate_ins=False)
 
 
+@pytest.mark.slow
 class TestInt8Execution:
     def test_jaxpr_contains_int8_convs(self, tiny_model):
         """The quantized apply must trace to convs with int8 operands —
@@ -106,6 +107,7 @@ class TestInt8Execution:
         assert np.isfinite(np.asarray(out["sem_logits"])).all()
 
 
+@pytest.mark.slow
 class TestNonInterceptedKernels:
     def test_bifpn_convtranspose_stays_fp32(self):
         """BiFPN decoders carry large nn.ConvTranspose kernels that the
@@ -180,6 +182,7 @@ class TestExportRoundTrip:
         assert not isinstance(jm2.module, Int8Module)
 
 
+@pytest.mark.slow
 class TestQuantizedDeployment:
     def test_int8_model_through_run_inference3d(self, tiny_model,
                                                 tmp_path):

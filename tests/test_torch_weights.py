@@ -198,6 +198,7 @@ class TestTorchToFlax:
             max_diff = float(np.abs(t_np - np.asarray(f_out[k])).max())
             assert max_diff <= 1e-5 * scale, (k, max_diff, scale)
 
+    @pytest.mark.slow
     def test_full_panoptic_bifpn_parity(self):
         """Whole-MitoNet-architecture golden test: reference torch
         PanopticBiFPN (regnet encoder + BiFPN with shared after-combine
@@ -322,6 +323,112 @@ class TestTorchToFlax:
         # model still runs
         out = model.apply(new_vars, x, train=False)
         assert out["sem_logits"].shape == (1, 64, 64, 1)
+
+
+def _load_ref_full_tree():
+    """Load the reference model package tree (idempotent) and return the
+    panoptic_deeplab + panoptic_bifpn modules."""
+    import types
+
+    R = "/root/reference/empanada/models"
+    for pkg in ("empanada", "empanada.models",
+                "empanada.models.encoders", "empanada.models.decoders"):
+        sys.modules.setdefault(pkg, types.ModuleType(pkg))
+
+    def load(name, path):
+        if name in sys.modules and hasattr(sys.modules[name], "__file__"):
+            return sys.modules[name]
+        spec = importlib.util.spec_from_file_location(name, path)
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[name] = mod
+        spec.loader.exec_module(mod)
+        return mod
+
+    load("empanada.models.blocks", f"{R}/blocks.py")
+    rn = load("empanada.models.encoders.resnet", f"{R}/encoders/resnet.py")
+    rg = load("empanada.models.encoders.regnet", f"{R}/encoders/regnet.py")
+    enc_pkg = sys.modules["empanada.models.encoders"]
+    for mod in (rn, rg):
+        for k in getattr(mod, "__all__", []):
+            setattr(enc_pkg, k, getattr(mod, k))
+    sys.modules["empanada.models"].encoders = enc_pkg
+    load("empanada.models.decoders.aspp", f"{R}/decoders/aspp.py")
+    dec = load("empanada.models.decoders.panoptic_deeplab",
+               f"{R}/decoders/panoptic_deeplab.py")
+    bif = load("empanada.models.decoders.bifpn", f"{R}/decoders/bifpn.py")
+    dp = sys.modules["empanada.models.decoders"]
+    dp.PanopticDeepLabDecoder = dec.PanopticDeepLabDecoder
+    dp.BiFPN = bif.BiFPN
+    dp.BiFPNDecoder = bif.BiFPNDecoder
+    load("empanada.models.heads", f"{R}/heads.py")
+    load("empanada.models.point_rend", f"{R}/point_rend.py")
+    pd = load("empanada.models.panoptic_deeplab", f"{R}/panoptic_deeplab.py")
+    pb = load("empanada.models.panoptic_bifpn", f"{R}/panoptic_bifpn.py")
+    return pd, pb
+
+
+@pytest.mark.slow
+class TestFlaxToTorch:
+    def test_flax_to_torch_round_trip_bifpn(self):
+        """Inverse converter on the full MitoNet architecture: flax
+        values -> torch template must (a) load with strict=True, (b)
+        round-trip back through the forward converter bit-exactly, and
+        (c) produce a torch forward matching the flax forward. Exercises
+        weight-shared BiFPN after-convs (aliases), fusion weights,
+        transpose convs, and the PointRend Conv1d MLP."""
+        import jax
+
+        from empanada_tpu.models import create_model
+        from empanada_tpu.train.torch_weights import (
+            convert_encoder_state_dict,
+            convert_flax_to_torch_state_dict,
+        )
+
+        _, pb = _load_ref_full_tree()
+        torch.manual_seed(1)
+        tmodel = pb.PanopticBiFPNPR(encoder="regnety_200mf", num_classes=1,
+                                    fpn_dim=96, fpn_layers=2).eval()
+
+        fmodel = create_model("PanopticBiFPNPR", encoder="regnety_200mf",
+                              num_classes=1, fpn_dim=96, fpn_layers=2)
+        x = np.random.default_rng(3).normal(
+            0, 1, (1, 128, 128, 1)).astype(np.float32)
+        variables = fmodel.init(
+            {"params": jax.random.key(5), "points": jax.random.key(1),
+             "dropout": jax.random.key(2)}, x, train=False)
+
+        sd, report = convert_flax_to_torch_state_dict(
+            tmodel.state_dict(), variables["params"],
+            variables["batch_stats"])
+        assert not report["leftover"], report
+        tmodel.load_state_dict(sd, strict=True)
+
+        # round trip back: forward-convert the new torch weights and
+        # compare against the original flax trees exactly
+        params2, stats2, rep2 = convert_encoder_state_dict(
+            tmodel.state_dict(), variables["params"],
+            variables["batch_stats"])
+        assert not rep2["leftover"], rep2
+        from flax import traverse_util
+        for tree, tree2 in ((variables["params"], params2),
+                            (variables["batch_stats"], stats2)):
+            flat = traverse_util.flatten_dict(tree)
+            flat2 = traverse_util.flatten_dict(tree2)
+            assert set(flat) == set(flat2)
+            for k in flat:
+                np.testing.assert_array_equal(
+                    np.asarray(flat[k], np.float32), flat2[k], err_msg=str(k))
+
+        # forward parity: the exported torch model behaves like the flax
+        with torch.no_grad():
+            t_out = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+        f_out = fmodel.apply(variables, x, train=False, render_steps=2,
+                             interpolate_ins=True)
+        for k in ("sem_logits", "ctr_hmp", "offsets"):
+            t_np = t_out[k].numpy().transpose(0, 2, 3, 1)
+            scale = max(1.0, float(np.abs(t_np).max()))
+            max_diff = float(np.abs(t_np - np.asarray(f_out[k])).max())
+            assert max_diff <= 1e-5 * scale, (k, max_diff, scale)
 
 
 class TestPointRendParity:
