@@ -26,6 +26,7 @@ __all__ = [
     "rle_decode",
     "rle_to_string",
     "string_to_rle",
+    "canonicalize_rle",
     "rle_intersection",
     "rle_iou",
     "rle_ioa",
@@ -90,6 +91,29 @@ def _as_ranges(starts, runs):
     starts = np.asarray(starts, dtype=np.int64)
     runs = np.asarray(runs, dtype=np.int64)
     return np.stack([starts, starts + runs], axis=1)
+
+
+def canonicalize_rle(starts, runs):
+    """Sort + coalesce an RLE into this package's canonical form
+    (ascending disjoint runs).
+
+    Every RLE op here assumes canonical inputs; our own trackers always
+    emit them, but the reference's axis trackers (tracker.py finish())
+    can emit UNSORTED runs — feeding those in unguarded silently
+    computes near-zero IoUs. Call this at ingestion boundaries
+    (cross-ecosystem JSON, foreign tracker objects). No-op (no copy)
+    when already canonical."""
+    starts = np.asarray(starts, dtype=np.int64)
+    runs = np.asarray(runs, dtype=np.int64)
+    if len(starts) < 2:
+        return starts, runs
+    ends = starts + runs
+    if np.all(starts[1:] >= ends[:-1]):
+        return starts, runs
+    order = np.argsort(starts, kind="stable")
+    joined = ranges_to_rle(join_ranges(
+        [np.stack([starts[order], ends[order]], axis=1)]))
+    return joined[:, 0], joined[:, 1]
 
 
 def rle_intersection(starts_a, runs_a, starts_b, runs_b) -> int:

@@ -25,7 +25,12 @@ import numpy as np
 
 from empanada_tpu.core.boxes import box_iou_pairs, merge_boxes
 from empanada_tpu.core.ranges import ranges_to_rle, vote_by_ranges, join_ranges
-from empanada_tpu.core.rle import merge_rles, rle_ioa, rle_iou
+from empanada_tpu.core.rle import (
+    canonicalize_rle,
+    merge_rles,
+    rle_ioa,
+    rle_iou,
+)
 
 MIN_OVERLAP = 100
 MIN_IOU = 1e-2
@@ -264,8 +269,11 @@ def _unpack_trackers(object_trackers):
             tracker_indices.append(tr_index)
             labels.append(int(instance_id))
             boxes.append(attrs["box"])
-            starts.append(np.asarray(attrs["starts"], dtype=np.int64))
-            runs.append(np.asarray(attrs["runs"], dtype=np.int64))
+            # foreign trackers (the reference's axis trackers emit
+            # UNSORTED runs) are canonicalized; ours pass through free
+            s, r = canonicalize_rle(attrs["starts"], attrs["runs"])
+            starts.append(s)
+            runs.append(r)
     return (np.array(tracker_indices), np.array(labels), np.array(boxes),
             starts, runs)
 

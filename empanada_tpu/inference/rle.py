@@ -16,7 +16,7 @@ from empanada_tpu.core.ccl import (
     region_props_from_runs,
     runs_connected_components,
 )
-from empanada_tpu.core.rle import string_to_rle
+from empanada_tpu.core.rle import canonicalize_rle, string_to_rle
 
 __all__ = [
     "pan_seg_to_rle_seg",
@@ -89,16 +89,20 @@ def rle_seg_to_pan_seg(rle_seg, shape):
 
 
 def unpack_rle_attrs(instance_rle_seg):
-    """Dict of instances -> (labels, boxes, starts list, runs list)."""
+    """Dict of instances -> (labels, boxes, starts list, runs list).
+
+    Canonicalizes each RLE on the way in: JSONs written by the reference
+    ecosystem (its tracker.finish() emits unsorted runs) must not
+    silently break sorted-merge IoU math downstream."""
     labels, boxes, starts, runs = [], [], [], []
     for label, attrs in instance_rle_seg.items():
         labels.append(int(label))
         boxes.append(attrs["box"])
         if "rle" in attrs:
             s, r = string_to_rle(attrs["rle"])
-            starts.append(s)
-            runs.append(r)
         else:
-            starts.append(np.asarray(attrs["starts"], dtype=np.int64))
-            runs.append(np.asarray(attrs["runs"], dtype=np.int64))
+            s, r = attrs["starts"], attrs["runs"]
+        s, r = canonicalize_rle(s, r)
+        starts.append(s)
+        runs.append(r)
     return np.array(labels), np.array(boxes), starts, runs

@@ -17,7 +17,24 @@ import numpy as np
 from flax import traverse_util
 
 __all__ = ["load_torch_state_dict", "convert_encoder_state_dict",
-           "convert_flax_to_torch_state_dict", "load_encoder_pretraining"]
+           "convert_flax_to_torch_state_dict", "load_encoder_pretraining",
+           "reorder_like"]
+
+
+def reorder_like(template, tree):
+    """Return ``tree``'s values in ``template``'s key order.
+
+    The structural converters match torch registration order against the
+    flax tree's insertion order, which is trace order only for
+    freshly-``init`` trees. Params that round-tripped through
+    jit/optax/serialization come back with alphabetically sorted dict
+    keys — pass the trained tree through this with a fresh ``init``
+    template before converting."""
+    flat_t = traverse_util.flatten_dict(template)
+    flat = traverse_util.flatten_dict(tree)
+    assert set(flat_t) == set(flat), (
+        set(flat_t) ^ set(flat))
+    return traverse_util.unflatten_dict({k: flat[k] for k in flat_t})
 
 
 def load_torch_state_dict(path):

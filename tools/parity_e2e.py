@@ -1,0 +1,311 @@
+"""End-to-end accuracy parity: reference pipeline vs empanada_tpu.
+
+The driver's scored metric is the PQ/F1 delta between the reference
+product flow (scripts/pdl_inference3d.py: engine -> forward/backward
+matching -> trackers -> consensus) and cli/infer3d.run_inference3d. This
+tool measures it directly:
+
+1. trains a small PanopticDeepLabPR (resnet18) on synthetic blob data
+   until it genuinely segments (cached in /tmp across runs),
+2. exports the weights into the reference's own torch model via the
+   inverse structural converter (train/torch_weights.py),
+3. runs BOTH pipelines on the same held-out volumes (stack mode and full
+   3-axis orthoplane consensus) with identical hyperparameters,
+4. scores each against ground truth with the shared evaluation stack and
+   prints the PQ/F1 deltas as one JSON line (recorded in PARITY.md §E2E).
+
+Run: PYTHONPATH=. python tools/parity_e2e.py
+"""
+
+import json
+import os
+
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=8"
+                           ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+
+MODEL_CFG = {
+    "arch": "PanopticDeepLabPR", "encoder": "resnet18", "num_classes": 1,
+    # resnet18 BasicBlock has no dilation support in the reference, so
+    # stride-32 is the config both frameworks accept
+    "stage4_stride": 32,
+    "train_num_points": 128, "subdivision_num_points": 256,
+}
+NORMS = {"mean": 0.5, "std": 0.12}
+CACHE = "/tmp/parity_blobnet.msgpack"
+
+INFER_KW = dict(
+    labels=[1], thing_list=[1], qlen=3, label_divisor=1000, seg_thr=0.5,
+    nms_thr=0.2, nms_kernel=7, iou_thr=0.25, ioa_thr=0.25,
+    pixel_vote_thr=2, cluster_iou_thr=0.75, min_size=50, min_span=2,
+    padding_factor=16, norms=NORMS, progress=False,
+)
+
+
+def make_example(rng, h=64, w=64, n_blobs=(1, 4)):
+    img = rng.normal(140, 8, (h, w))
+    msk = np.zeros((h, w), np.uint16)
+    yy, xx = np.mgrid[:h, :w]
+    for i in range(rng.integers(*n_blobs)):
+        cy, cx = rng.integers(10, h - 10), rng.integers(10, w - 10)
+        r = rng.integers(5, 11)
+        blob = (yy - cy) ** 2 + (xx - cx) ** 2 <= r * r
+        img[blob] -= 60
+        msk[blob] = i + 1
+    return np.clip(img, 0, 255).astype(np.uint8), msk
+
+
+def train_blob_model(epochs=12):
+    """Train (or load from cache) the flax blob segmenter; returns
+    (module, variables)."""
+    from flax import serialization
+
+    from empanada_tpu.models import create_model
+
+    module = create_model(**MODEL_CFG)
+    if os.path.exists(CACHE):
+        x = np.zeros((1, 64, 64, 1), np.float32)
+        variables = module.init(
+            {"params": jax.random.key(0), "points": jax.random.key(1),
+             "dropout": jax.random.key(2)}, x, train=False)
+        with open(CACHE, "rb") as f:
+            variables = serialization.from_bytes(
+                {"params": variables["params"],
+                 "batch_stats": variables["batch_stats"]}, f.read())
+        print(f"loaded cached model from {CACHE}")
+        return module, dict(variables)
+
+    import cv2
+
+    rng = np.random.default_rng(0)
+    root = "/tmp/paritydata"
+    for d in ("images", "masks"):
+        os.makedirs(f"{root}/ds0/{d}", exist_ok=True)
+    for i in range(64):
+        img, msk = make_example(rng)
+        cv2.imwrite(f"{root}/ds0/images/{i}.png", img)
+        cv2.imwrite(f"{root}/ds0/masks/{i}.png", msk)
+
+    cfg = {
+        "DATASET": {"class_names": {1: "blob"}, "labels": [1],
+                    "thing_list": [1], "norms": dict(NORMS)},
+        "MODEL": dict(MODEL_CFG),
+        "TRAIN": {
+            "run_name": "parity", "model_dir": "/tmp/paritymodels",
+            "save_freq": 100, "finetune_layer": "all",
+            "lr_schedule": "OneCycleLR",
+            "schedule_params": {"max_lr": 0.001, "epochs": epochs},
+            "optimizer": "AdamW",
+            "optimizer_params": {"weight_decay": 0.01},
+            "criterion": "PanopticLoss",
+            "criterion_params": {"ce_weight": 1, "mse_weight": 200,
+                                 "l1_weight": 0.01, "top_k_percent": 0.2},
+            "print_freq": 8, "batch_size": 8, "workers": 4,
+            "dataset_class": "SingleClassInstanceDataset",
+            "dataset_params": {},
+            "augmentations": [
+                {"aug": "RandomCrop", "height": 64, "width": 64},
+                {"aug": "HorizontalFlip"}, {"aug": "VerticalFlip"}],
+            "resume": None, "train_dir": root, "logging": False},
+    }
+    from empanada_tpu.train import Trainer
+
+    tr = Trainer(cfg)
+    hist = tr.fit()
+    assert hist[-1]["sem_iou"] > 0.5, hist[-1]
+    variables = {"params": tr.state.params}
+    if tr.state.batch_stats:
+        variables["batch_stats"] = tr.state.batch_stats
+    with open(CACHE, "wb") as f:
+        f.write(serialization.to_bytes(variables))
+    return module, variables
+
+
+def export_to_reference_torch(variables):
+    """Inverse-convert the flax weights into the reference's own torch
+    PanopticDeepLabPR and sanity-check forward parity on one input."""
+    import torch
+
+    from empanada_tpu.train.torch_weights import (
+        convert_flax_to_torch_state_dict,
+        reorder_like,
+    )
+    from tools.reference_pipeline import load_reference
+
+    load_reference()  # stubs + sys.path
+    from empanada.models.panoptic_deeplab import (  # noqa: E402
+        PanopticDeepLabPR,
+    )
+
+    class _EngineCompatPDLPR(PanopticDeepLabPR):
+        """The reference render engine drives models through the
+        (x, render_steps, interpolate_ins) eval convention that lives on
+        its Quantizable* deployment tree (models/quantization/
+        panoptic_deeplab.py:195-250); the eager tree predates it. This
+        shim adds the identical eval forward so the engine runs the
+        eager reference model unmodified. No parameters are added."""
+
+        def forward(self, x, render_steps=2, interpolate_ins=True):
+            self._render_steps = render_steps
+            self._interpolate_ins = interpolate_ins
+            return super().forward(x)
+
+        def _apply_heads(self, semantic_x, instance_x):
+            heads_out = {}
+            sem = self.semantic_head(semantic_x)
+            ctr_hmp = self.ins_center(instance_x)
+            offsets = self.ins_xy(instance_x)
+            self.semantic_pr.subdivision_steps = self._render_steps
+            pr_out = self.semantic_pr(sem, semantic_x)
+            heads_out["sem_logits"] = pr_out["sem_seg_logits"]
+            if self._interpolate_ins:
+                ctr_hmp = self.interpolate(ctr_hmp)
+                offsets = self.interpolate(offsets)
+            heads_out["ctr_hmp"] = ctr_hmp
+            heads_out["offsets"] = offsets
+            return heads_out
+
+    tmodel = _EngineCompatPDLPR(**{k: v for k, v in MODEL_CFG.items()
+                                   if k != "arch"}).eval()
+
+    # trainer/optimizer round-trips sort param dict keys; the structural
+    # converter needs trace order — reorder against a fresh init
+    from empanada_tpu.models import create_model
+
+    module = create_model(**MODEL_CFG)
+    template = module.init(
+        {"params": jax.random.key(0), "points": jax.random.key(1),
+         "dropout": jax.random.key(2)},
+        np.zeros((1, 64, 64, 1), np.float32), train=False)
+    params = reorder_like(template["params"], variables["params"])
+    batch_stats = reorder_like(template["batch_stats"],
+                               variables.get("batch_stats", {}))
+    sd, report = convert_flax_to_torch_state_dict(
+        tmodel.state_dict(), params, batch_stats)
+    assert not report["leftover"], report
+    tmodel.load_state_dict(sd, strict=True)
+
+    # forward sanity on one normalized slice
+    x = np.random.default_rng(7).normal(
+        0, 1, (1, 64, 64, 1)).astype(np.float32)
+    with torch.no_grad():
+        t_out = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2)),
+                       render_steps=2, interpolate_ins=True)
+    f_out = module.apply(variables, x, train=False, render_steps=2,
+                         interpolate_ins=True)
+    for k in ("sem_logits", "ctr_hmp", "offsets"):
+        t_np = t_out[k].numpy().transpose(0, 2, 3, 1)
+        scale = max(1.0, float(np.abs(t_np).max()))
+        diff = float(np.abs(t_np - np.asarray(f_out[k])).max())
+        assert diff <= 1e-4 * scale, (k, diff, scale)
+    print("forward parity (converted torch vs flax): OK")
+    return tmodel
+
+
+def make_volume(rng, shape, spheres):
+    vol = rng.normal(140, 8, shape)
+    gt = np.zeros(shape, np.uint32)
+    zz, yy, xx = np.mgrid[:shape[0], :shape[1], :shape[2]]
+    for i, (cz, cy, cx, rz, ry, rx) in enumerate(spheres):
+        ball = ((zz - cz) ** 2 / rz ** 2 + (yy - cy) ** 2 / ry ** 2
+                + (xx - cx) ** 2 / rx ** 2) <= 1.0
+        vol[ball] -= 60
+        gt[ball] = i + 1
+    return np.clip(vol, 0, 255).astype(np.uint8), gt
+
+
+def score(pred, gt, label_divisor=1000):
+    """3D PQ and F1@50 of a dense instance labelmap vs ground truth.
+
+    Instance ids are densified to 1..n first: stack-mode trackers emit
+    raw ``label_divisor + k`` ids while consensus trackers emit 1..n,
+    and the PQ windowing needs all ids inside one class window."""
+    from empanada_tpu.metrics import F1, PQ, AverageMeter
+
+    def densify(arr):
+        out = np.zeros_like(arr, dtype=np.int64)
+        for rank, v in enumerate(np.unique(arr)):
+            if v != 0:
+                out[arr == v] = rank
+        return out
+
+    pred_pan = np.where(pred > 0, label_divisor + densify(pred), 0)
+    gt_pan = np.where(gt > 0, label_divisor + densify(gt), 0)
+    o = {"pan_seg": pred_pan}
+    t = {"pan_seg": gt_pan}
+    pq = float(PQ(AverageMeter, [1], label_divisor).calculate(o, t)[1])
+    f1 = float(F1(AverageMeter, [1], label_divisor).calculate(o, t)[1])
+    return pq, f1
+
+
+def main():
+    from empanada_tpu.cli.infer3d import run_inference3d
+    from empanada_tpu.inference.patterns import fill_volume
+    from tools.reference_pipeline import (
+        fill_reference_consensus,
+        run_reference_inference3d,
+    )
+
+    module, variables = train_blob_model()
+    tmodel = export_to_reference_torch(variables)
+
+    rng = np.random.default_rng(11)
+    cases = {
+        "stack": make_volume(
+            rng, (14, 96, 96),
+            [(5, 20, 20, 5, 7, 7), (7, 46, 40, 6, 8, 8),
+             (4, 30, 72, 4, 6, 6), (9, 70, 24, 5, 7, 9),
+             (6, 74, 70, 6, 9, 7)]),
+        # denser orthoplane volume: 10 instances so one borderline
+        # 0.75-IoU cluster flip moves PQ by ~0.1, not ~0.25
+        "orthoplane": make_volume(
+            rng, (64, 64, 64),
+            [(14, 14, 14, 7, 7, 7), (30, 34, 20, 8, 8, 8),
+             (22, 24, 38, 6, 6, 6), (36, 12, 34, 5, 5, 5),
+             (48, 48, 48, 7, 7, 7), (50, 16, 14, 6, 6, 6),
+             (12, 48, 44, 5, 6, 6), (46, 44, 12, 6, 5, 6),
+             (14, 34, 54, 5, 5, 5), (52, 28, 34, 5, 5, 5)]),
+    }
+
+    report = {}
+    for mode, (vol, gt) in cases.items():
+        kw = dict(INFER_KW, mode=mode)
+        ref_cons = run_reference_inference3d(tmodel, vol, **kw)
+        ref_pred = fill_reference_consensus(ref_cons[1], vol.shape)
+        ref_pq, ref_f1 = score(ref_pred, gt)
+
+        tpu_cons = run_inference3d(
+            (module, variables), vol, max_centers=64, block_size=4, **kw)
+        tpu_pred = np.zeros(vol.shape, np.uint32)
+        fill_volume(tpu_pred, tpu_cons[1].instances, processes=1)
+        tpu_pq, tpu_f1 = score(tpu_pred, gt)
+
+        # mask-level agreement between the two pipelines (not just
+        # score-level): symmetric best-IoU of binary foreground
+        inter = np.logical_and(ref_pred > 0, tpu_pred > 0).sum()
+        union = np.logical_or(ref_pred > 0, tpu_pred > 0).sum()
+        report[mode] = {
+            "reference": {"pq": round(ref_pq, 4), "f1": round(ref_f1, 4),
+                          "instances": len(ref_cons[1].instances)},
+            "empanada_tpu": {"pq": round(tpu_pq, 4),
+                             "f1": round(tpu_f1, 4),
+                             "instances": len(tpu_cons[1].instances)},
+            "pq_delta": round(tpu_pq - ref_pq, 4),
+            "f1_delta": round(tpu_f1 - ref_f1, 4),
+            "foreground_iou": round(float(inter) / max(float(union), 1), 4),
+        }
+        print(f"[{mode}] ref PQ={ref_pq:.4f} F1={ref_f1:.4f} | "
+              f"tpu PQ={tpu_pq:.4f} F1={tpu_f1:.4f} | "
+              f"fg IoU={report[mode]['foreground_iou']:.4f}")
+
+    print(json.dumps({"metric": "e2e_accuracy_parity", **report}))
+
+
+if __name__ == "__main__":
+    main()
