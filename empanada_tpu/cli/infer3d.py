@@ -60,8 +60,9 @@ def parse_args(argv=None):
                         default=256,
                         help="Static per-slice instance budget (TPU shapes)")
     parser.add_argument("-block-size", type=int, dest="block_size",
-                        default=16,
-                        help="Slices per fused device dispatch")
+                        default=None,
+                        help="Slices per fused device dispatch (default: "
+                             "8 per device, i.e. 8*n_devices)")
     parser.add_argument("-n-devices", type=int, dest="n_devices", default=0,
                         help="Shard slice blocks over N devices "
                              "(0 = single device)")
@@ -71,6 +72,11 @@ def parse_args(argv=None):
                         help="load the executing-int8 artifact from the "
                              "descriptor (export --quantize with "
                              "calibration; models/quantization.py)")
+    parser.add_argument("--resident", action="store_true",
+                        help="Device-resident volume path (one upload, "
+                             "blocks sliced on device); exact-parity but "
+                             "measured slower than streaming on tunneled "
+                             "runtimes — see docs/performance.md")
     parser.add_argument("--use-cpu", action="store_true",
                         help="Force inference on CPU (reference parity)")
     parser.add_argument("--save-panoptic", action="store_true")
@@ -101,7 +107,8 @@ def run_inference3d(
     pixel_vote_thr=2, cluster_iou_thr=0.75, min_size=500, min_span=4,
     downsample_f=1, one_view=False, fine_boundaries=False,
     padding_factor=128, max_centers=256, save_panoptic_dir=None,
-    progress=True, block_size=8, mesh=None, norms=None, tfs=None,
+    progress=True, block_size=None, mesh=None, norms=None, tfs=None,
+    resident=False,
 ):
     """Full 3D inference; returns {class_id: consensus InstanceTracker}.
 
@@ -145,23 +152,27 @@ def run_inference3d(
     trackers = patterns.create_axis_trackers(
         axes, labels, label_divisor, shape)
 
+    # ONE engine for all axes: per-shape block functions are cached
+    # inside it, and params upload to the device once instead of once
+    # per axis (~3x fewer 30M-param transfers on orthoplane passes)
+    engine = FusedStackEngine(
+        module, variables, thing_list,
+        block_size=block_size,
+        label_divisor=label_divisor,
+        median_kernel_size=qlen,
+        nms_threshold=nms_thr,
+        nms_kernel=nms_kernel,
+        confidence_thr=seg_thr,
+        padding_factor=padding_factor,
+        coarse_boundaries=not fine_boundaries,
+        max_centers=max_centers,
+        stuff_area=0,
+        mesh=mesh,
+        device_norms=device_norms,
+    )
+
     for axis_name, axis in axes.items():
         t_axis = time.time()
-        engine = FusedStackEngine(
-            module, variables, thing_list,
-            block_size=block_size,
-            label_divisor=label_divisor,
-            median_kernel_size=qlen,
-            nms_threshold=nms_thr,
-            nms_kernel=nms_kernel,
-            confidence_thr=seg_thr,
-            padding_factor=padding_factor,
-            coarse_boundaries=not fine_boundaries,
-            max_centers=max_centers,
-            stuff_area=0,
-            mesh=mesh,
-            device_norms=device_norms,
-        )
         matchers = patterns.create_matchers(
             thing_list, label_divisor, iou_thr, ioa_thr)
         fm = patterns.ForwardMatcher(matchers, labels, label_divisor,
@@ -170,12 +181,14 @@ def run_inference3d(
                                 scale=downsample_f)
         n = len(dataset)
 
-        # device-resident fast path (fused.py): the whole uint8 axis view
-        # uploads once (auto z-chunked against HBM) and blocks are
-        # dynamic-sliced on device — no per-block image H2D. Falls back
-        # to the streaming dataset path for meshes / host-side transforms
-        # / downsampled passes.
-        if mesh is None and downsample_f == 1 and device_norms is not None \
+        # device-resident path (fused.py, opt-in): the whole uint8 axis
+        # view uploads once and blocks are dynamic-sliced on device — no
+        # per-block image H2D. Exact-parity with streaming, but measured
+        # SLOWER end-to-end on the tunneled chip (bench.py breakdown:
+        # 61 vs 83 slices/s same-process — lax.scan serializes block
+        # compute against D2H), so streaming is the default.
+        if resident and mesh is None and downsample_f == 1 \
+                and device_norms is not None \
                 and isinstance(volume, np.ndarray):
             vol_view = volume if axis == 0 else np.moveaxis(volume, axis, 0)
             block_iter = engine.infer_blocks_resident(vol_view)
@@ -268,6 +281,7 @@ def main(argv=None):
         norms=desc.get("norms"),
         block_size=args.block_size,
         mesh=mesh,
+        resident=args.resident,
         save_panoptic_dir=(
             os.path.dirname(os.path.abspath(args.volume_path))
             if args.save_panoptic else None),

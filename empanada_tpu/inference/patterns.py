@@ -102,6 +102,10 @@ class ForwardMatcher:
         self.label_divisor = label_divisor
         self.thing_list = list(thing_list)
         self.rle_stack = []
+        # slices whose device run buffer overflowed and fell back to a
+        # dense pan-map pull (bench reports this: each costs a full-plane
+        # D2H instead of O(#runs) bytes)
+        self.overflow_count = 0
         self._queue = queue.Queue(maxsize=queue_size)
         self._exc = None
         self._thread = threading.Thread(target=self._run, daemon=True)
@@ -120,6 +124,7 @@ class ForwardMatcher:
                     np.asarray(values[:n]),
                     shape, self.labels, self.label_divisor, self.thing_list)
             item = pan  # run budget overflow: fall back to the dense map
+            self.overflow_count += 1
         pan_seg = np.asarray(item).squeeze()
         return pan_seg_to_rle_seg(
             pan_seg, self.labels, self.label_divisor, self.thing_list)
@@ -140,6 +145,7 @@ class ForwardMatcher:
                     arr[j, 1:n + 1, 2], shape, self.labels,
                     self.label_divisor, self.thing_list)
             else:  # run budget overflow: pull the dense map
+                self.overflow_count += 1
                 rle_seg = pan_seg_to_rle_seg(
                     np.asarray(pan_block[j]), self.labels,
                     self.label_divisor, self.thing_list)

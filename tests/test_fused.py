@@ -278,3 +278,45 @@ def test_matcher_worker_error_propagates():
             fm.put(np.zeros((8, 8), np.int32))
             time.sleep(0.01)
         raise TimeoutError("worker exception never propagated")
+
+
+def test_run_overflow_fallback_under_load():
+    """Round-2 VERDICT missing #6: dense content that overflows the
+    per-slice run budget must fall back to the dense pan-map pull with
+    BYTE-IDENTICAL results, and the fallback must be counted."""
+    from empanada_tpu.inference import patterns
+    from tests.synthetic import SyntheticModule
+
+    # striped foreground: alternating 1px columns -> W/2 runs per row,
+    # far beyond a 64-run budget
+    D, H, W = 6, 64, 64
+    vol = np.zeros((D, H, W), np.float32)
+    vol[:, :, ::2] = 1.0
+    vol[:, :4, :] = 0.0  # calm border so centroids stay interior
+
+    kwargs = dict(thing_list=[1], label_divisor=100, stuff_area=0,
+                  median_kernel_size=3, padding_factor=16, max_centers=16,
+                  block_size=4)
+    stacks = {}
+    counts = {}
+    for name, budget in (("tiny", 64), ("ample", 8192)):
+        engine = FusedStackEngine(SyntheticModule(), {}, max_runs=budget,
+                                  **kwargs)
+        matchers = patterns.create_matchers([1], 100, 0.25, 0.25)
+        fm = patterns.ForwardMatcher(matchers, [1], 100, [1])
+        for z_indices, pan_block, packed in engine.infer_blocks(_DS(vol)):
+            fm.put_block(z_indices, pan_block, packed)
+        stacks[name] = fm.finish()
+        counts[name] = fm.overflow_count
+
+    assert counts["tiny"] == D, counts   # every slice overflowed
+    assert counts["ample"] == 0, counts
+    assert len(stacks["tiny"]) == len(stacks["ample"]) == D
+    for s_tiny, s_ample in zip(stacks["tiny"], stacks["ample"]):
+        assert s_tiny.keys() == s_ample.keys()
+        for cls in s_tiny:
+            assert s_tiny[cls].keys() == s_ample[cls].keys()
+            for iid in s_tiny[cls]:
+                a, b = s_tiny[cls][iid], s_ample[cls][iid]
+                np.testing.assert_array_equal(a["starts"], b["starts"])
+                np.testing.assert_array_equal(a["runs"], b["runs"])

