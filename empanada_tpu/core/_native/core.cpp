@@ -74,6 +74,37 @@ int64_t etpu_ranges_intersection(const int64_t* a, int64_t na,
 }
 
 // ---------------------------------------------------------------------------
+// Batched pairwise intersection sizes between two instance sets.
+//
+// Each side is a concatenation of per-instance disjoint sorted [start,end)
+// range lists: ranges_x is flat (2*total) int64, offs_x is (n_x+1) range
+// offsets (instance i owns ranges [offs[i], offs[i+1])). pairs is
+// (2*n_pairs) of (ia, ib) indices; out receives the intersection size per
+// pair. One call replaces thousands of per-pair ctypes crossings in the
+// slice matcher's IoU matrix construction (inference/matcher.py).
+// ---------------------------------------------------------------------------
+void etpu_pair_intersections(const int64_t* ranges_a, const int64_t* offs_a,
+                             const int64_t* ranges_b, const int64_t* offs_b,
+                             const int64_t* pairs, int64_t n_pairs,
+                             int64_t* out) {
+  for (int64_t p = 0; p < n_pairs; ++p) {
+    int64_t ia = pairs[2 * p], ib = pairs[2 * p + 1];
+    const int64_t* a = ranges_a + 2 * offs_a[ia];
+    const int64_t* b = ranges_b + 2 * offs_b[ib];
+    int64_t na = offs_a[ia + 1] - offs_a[ia];
+    int64_t nb = offs_b[ib + 1] - offs_b[ib];
+    int64_t i = 0, j = 0, total = 0;
+    while (i < na && j < nb) {
+      int64_t lo = std::max(a[2 * i], b[2 * j]);
+      int64_t hi = std::min(a[2 * i + 1], b[2 * j + 1]);
+      if (hi > lo) total += hi - lo;
+      if (a[2 * i + 1] < b[2 * j + 1]) i++; else j++;
+    }
+    out[p] = total;
+  }
+}
+
+// ---------------------------------------------------------------------------
 // Run-based connected components over a raveled 2D image.
 //
 // Input: n row-split runs (start, end in raveled coords; runs never cross a

@@ -181,38 +181,48 @@ def region_props_from_runs(starts, ends, labels, shape):
     s_sorted = starts[order]
     e_sorted = ends[order]
     l_sorted = labels[order]
-    bounds = np.nonzero(np.concatenate([[True], l_sorted[1:] != l_sorted[:-1]]))[0]
-    bounds = np.concatenate([bounds, [len(l_sorted)]])
+    first = np.concatenate([[True], l_sorted[1:] != l_sorted[:-1]])
+    bounds = np.nonzero(first)[0]
 
-    for bi in range(len(bounds) - 1):
-        i0, i1 = bounds[bi], bounds[bi + 1]
-        lab = int(l_sorted[i0])
-        s = s_sorted[i0:i1]
-        e = e_sorted[i0:i1]
-        # runs arrive raster-sorted within a label (stable sort preserves)
-        lens = e - s
-        area = int(lens.sum())
+    # all per-label reductions vectorized with reduceat: the per-label
+    # python loop was ~50us/instance of small-array overhead and the
+    # second-hottest host cost at realistic instance density
+    lens = e_sorted - s_sorted
+    rows = s_sorted // w
+    cs = s_sorted % w
+    ce = (e_sorted - 1) % w + 1
+    area = np.add.reduceat(lens, bounds)
+    y1 = np.minimum.reduceat(rows, bounds)
+    y2 = np.maximum.reduceat(rows, bounds) + 1
+    x1 = np.minimum.reduceat(cs, bounds)
+    x2 = np.maximum.reduceat(ce, bounds)
+    # weighted centroid over runs; column sum of an arithmetic run
+    # [cs, ce) is lens*cs + lens*(lens-1)/2
+    cy = np.add.reduceat(rows * lens, bounds) / area
+    cx = np.add.reduceat(lens * cs + lens * (lens - 1) // 2, bounds) / area
 
-        rows = s // w
-        cs = s % w
-        ce = (e - 1) % w + 1
-        y1, y2 = int(rows.min()), int(rows.max()) + 1
-        x1, x2 = int(cs.min()), int(ce.max())
+    # merge row-crossing contiguous runs into canonical minimal RLE,
+    # across the whole array at once (label changes always break a merge
+    # because a new label's first run can't start at the previous end
+    # within the same raster position unless labels differ -> force it)
+    keep = np.concatenate([[True], s_sorted[1:] != e_sorted[:-1]]) | first
+    group = np.cumsum(keep) - 1
+    m_starts = s_sorted[keep]
+    m_lens = np.zeros(len(m_starts), dtype=np.int64)
+    np.add.at(m_lens, group, lens)
+    # per-label extents in the merged arrays
+    m_bounds = group[bounds]
+    m_ends_idx = np.concatenate([m_bounds[1:], [len(m_starts)]])
 
-        # weighted centroid over runs
-        cy = float((rows * lens).sum()) / area
-        # column sum of an arithmetic run [cs, ce): lens*cs + lens*(lens-1)/2
-        cx = float((lens * cs + lens * (lens - 1) // 2).sum()) / area
-
-        # merge row-crossing contiguous runs into canonical minimal RLE
-        merged_s, merged_r = _merge_adjacent_runs(s, lens)
-
+    for bi in range(len(bounds)):
+        lab = int(l_sorted[bounds[bi]])
+        i0, i1 = m_bounds[bi], m_ends_idx[bi]
         props[lab] = {
-            "box": (y1, x1, y2, x2),
-            "starts": merged_s,
-            "runs": merged_r,
-            "area": area,
-            "centroid": (cy, cx),
+            "box": (int(y1[bi]), int(x1[bi]), int(y2[bi]), int(x2[bi])),
+            "starts": m_starts[i0:i1],
+            "runs": m_lens[i0:i1],
+            "area": int(area[bi]),
+            "centroid": (float(cy[bi]), float(cx[bi])),
         }
     return props
 

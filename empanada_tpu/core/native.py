@@ -88,6 +88,13 @@ def get_lib():
         lib.etpu_encode_runs_i32.restype = i64
         lib.etpu_encode_runs_i32.argtypes = [p32, i64, i64, p64, p64, p64]
 
+        try:
+            lib.etpu_pair_intersections.restype = None
+            lib.etpu_pair_intersections.argtypes = [p64, p64, p64, p64,
+                                                    p64, i64, p64]
+        except AttributeError:
+            pass  # stale .so; callers fall back
+
         _lib = lib
         return _lib
 
@@ -130,6 +137,25 @@ def ranges_intersection(ranges_a: np.ndarray, ranges_b: np.ndarray):
     a = _c64(ranges_a)
     b = _c64(ranges_b)
     return int(lib.etpu_ranges_intersection(a, len(a), b, len(b)))
+
+
+def pair_intersections(ranges_a_cat, offs_a, ranges_b_cat, offs_b, pairs):
+    """Batched intersection sizes for (ia, ib) pairs of instances whose
+    per-instance disjoint sorted ranges are concatenated in
+    ``ranges_x_cat`` ((total, 2) int64) with ``offs_x`` ((n+1,) range
+    offsets). Returns (n_pairs,) int64 or None without the library."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "etpu_pair_intersections"):
+        return None
+    ranges_a_cat = _c64(ranges_a_cat)
+    ranges_b_cat = _c64(ranges_b_cat)
+    offs_a = _c64(offs_a)
+    offs_b = _c64(offs_b)
+    pairs = _c64(pairs)
+    out = np.empty(len(pairs), dtype=np.int64)
+    lib.etpu_pair_intersections(ranges_a_cat, offs_a, ranges_b_cat, offs_b,
+                                pairs, len(pairs), out)
+    return out
 
 
 def runs_ccl(starts, ends, values, width: int, connectivity: int = 8):

@@ -122,6 +122,45 @@ def rle_intersection(starts_a, runs_a, starts_b, runs_b) -> int:
                                _as_ranges(starts_b, runs_b))
 
 
+def rle_pairwise_intersections(starts_a, runs_a, starts_b, runs_b,
+                               rows, cols):
+    """Intersection sizes for many instance pairs in ONE native call.
+
+    ``starts_x``/``runs_x`` are lists of per-instance canonical RLE
+    arrays; ``rows``/``cols`` index pairs (a_i, b_j). The slice matcher
+    builds its IoU/IoA matrices from thousands of pairs per slice —
+    per-pair ctypes calls were the single hottest host cost at realistic
+    instance density (~12 ms/slice of the ~15 ms host budget)."""
+    rows = np.asarray(rows, dtype=np.int64)
+    cols = np.asarray(cols, dtype=np.int64)
+    if len(rows) == 0:
+        return np.zeros(0, dtype=np.int64)
+
+    from empanada_tpu.core import native
+
+    offs_a = np.zeros(len(starts_a) + 1, dtype=np.int64)
+    offs_a[1:] = np.cumsum([len(s) for s in starts_a])
+    offs_b = np.zeros(len(starts_b) + 1, dtype=np.int64)
+    offs_b[1:] = np.cumsum([len(s) for s in starts_b])
+    cat_a = np.empty((offs_a[-1], 2), dtype=np.int64)
+    for i, (s, r) in enumerate(zip(starts_a, runs_a)):
+        cat_a[offs_a[i]:offs_a[i + 1], 0] = s
+        cat_a[offs_a[i]:offs_a[i + 1], 1] = np.asarray(s) + np.asarray(r)
+    cat_b = np.empty((offs_b[-1], 2), dtype=np.int64)
+    for j, (s, r) in enumerate(zip(starts_b, runs_b)):
+        cat_b[offs_b[j]:offs_b[j + 1], 0] = s
+        cat_b[offs_b[j]:offs_b[j + 1], 1] = np.asarray(s) + np.asarray(r)
+
+    pairs = np.stack([rows, cols], axis=1)
+    out = native.pair_intersections(cat_a, offs_a, cat_b, offs_b, pairs)
+    if out is not None:
+        return out
+    return np.array([
+        ranges_intersection(cat_a[offs_a[i]:offs_a[i + 1]],
+                            cat_b[offs_b[j]:offs_b[j + 1]])
+        for i, j in zip(rows, cols)], dtype=np.int64)
+
+
 def rle_iou(starts_a, runs_a, starts_b, runs_b, return_intersection=False):
     inter = rle_intersection(starts_a, runs_a, starts_b, runs_b)
     union = int(np.sum(runs_a)) + int(np.sum(runs_b)) - inter

@@ -12,7 +12,7 @@ import numpy as np
 from scipy.optimize import linear_sum_assignment
 
 from empanada_tpu.core.boxes import box_iou_pairs, merge_boxes
-from empanada_tpu.core.rle import merge_rles, rle_ioa, rle_iou
+from empanada_tpu.core.rle import merge_rles, rle_pairwise_intersections
 from empanada_tpu.inference.rle import unpack_rle_attrs
 
 __all__ = ["rle_matcher", "RLEMatcher", "merge_attrs", "fast_matcher"]
@@ -56,14 +56,23 @@ def rle_matcher(target_instance_rles, match_instance_rles, iou_thr=0.5,
     ioa_matrix = np.zeros_like(iou_matrix) if return_ioa else None
 
     rows, cols, _, _ = box_iou_pairs(target_boxes, match_boxes)
-    for r1, r2 in zip(rows, cols):
-        iou_matrix[r1, r2] = rle_iou(
-            target_starts[r1], target_runs[r1],
-            match_starts[r2], match_runs[r2])
+    if len(rows):
+        # all screened pairs in one native call (per-pair rle_iou calls
+        # were the dominant host cost at realistic instance density)
+        inter = rle_pairwise_intersections(
+            target_starts, target_runs, match_starts, match_runs,
+            rows, cols).astype(np.float64)
+        area_t = np.array([int(np.sum(r)) for r in target_runs],
+                          dtype=np.float64)
+        area_m = np.array([int(np.sum(r)) for r in match_runs],
+                          dtype=np.float64)
+        union = area_t[rows] + area_m[cols] - inter
+        iou_matrix[rows, cols] = np.where(union > 0, inter / union, 0.0)
         if return_ioa:
-            ioa_matrix[r1, r2] = rle_ioa(
-                target_starts[r1], target_runs[r1],
-                match_starts[r2], match_runs[r2])
+            # intersection over the area of the SECOND (match) RLE,
+            # reference convention (array_utils.py:431-455)
+            ioa_matrix[rows, cols] = np.where(
+                area_m[cols] > 0, inter / area_m[cols], 0.0)
 
     match_rows, match_cols = linear_sum_assignment(iou_matrix, maximize=True)
     if iou_thr is not None:
