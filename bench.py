@@ -223,7 +223,7 @@ def main():
         label_divisor=LABEL_DIVISOR, seg_thr=0.5, nms_thr=0.1,
         nms_kernel=3, iou_thr=0.25, ioa_thr=0.25, pixel_vote_thr=2,
         cluster_iou_thr=0.75, min_size=200, min_span=2,
-        padding_factor=128, max_centers=256, block_size=8,
+        padding_factor=128, max_centers=256, block_size=None,
         norms={"mean": 0.57, "std": 0.12}, progress=False)
     run_inference3d((model, variables), ortho_vol, **ortho_kw)  # warmup
     t0 = time.perf_counter()

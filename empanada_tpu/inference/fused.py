@@ -153,14 +153,14 @@ class FusedStackEngine:
         assert median_kernel_size % 2 == 1
         self.module = module
         self.thing_list = list(thing_list)
-        # default block: 8 slices per DEVICE — a mesh of N chips gets an
-        # 8N-slice block so every chip sees the single-device batch that
-        # saturates its MXU (round-2 VERDICT missing #5; reference
-        # intent: inference3d_multigpu.py slice sharding)
-        if block_size is None:
-            block_size = 8 * (mesh.size if mesh is not None else 1)
+        # None = AUTO: resolved per slice shape at infer time
+        # (_resolve_block) — 8 512^2-slices worth of pixels per device
+        # per dispatch, so smaller orthoplane slices earn proportionally
+        # bigger blocks instead of paying the constant tunnel/PCIe
+        # dispatch latency 4x as often (round-2 VERDICT missing #5;
+        # reference intent: inference3d_multigpu.py slice sharding)
         self.block_size = block_size
-        if mesh is not None:
+        if block_size is not None and mesh is not None:
             assert block_size % mesh.size == 0, (
                 f"block_size {block_size} must divide over the "
                 f"{mesh.size}-device mesh")
@@ -203,6 +203,26 @@ class FusedStackEngine:
             self._image_sharding = None
 
     # -----------------------------------------------------------------
+
+    def _resolve_block(self, pad_shape, n):
+        """Slices per dispatch for this slice shape: the explicit
+        setting if given, else scaled to keep ~8 512^2-slices of pixels
+        per device per dispatch (dispatch round-trip latency is constant,
+        so smaller slices earn bigger blocks), capped at 64 per device
+        and clamped to the stack length."""
+        mf = self._mesh.size if self._mesh is not None else 1
+        if self.block_size is not None:
+            return self.block_size
+        ph, pw = pad_shape
+        scale = max(1, min(8, (512 * 512) // max(ph * pw, 1)))
+        B = 8 * scale * mf
+        need = n + self.mid
+        if B > need:
+            # clamp to the stack, rounded to a multiple of 8 (bounds
+            # the number of distinct compiled block shapes) and of the
+            # mesh size
+            B = min(B, -(-(-(-need // 8) * 8) // mf) * mf)
+        return B
 
     def _norm_params(self, crop, pad_shape, upsampling):
         """Device-normalization constants: (mean, std, pad_mask) — the
@@ -267,9 +287,9 @@ class FusedStackEngine:
         return postprocess_one
 
     def _build(self, num_classes, render_steps, upsampling, max_runs,
-               crop, pad_shape):
+               crop, pad_shape, B):
         module = self.module
-        B, ks, mid = self.block_size, self.ks, self.mid
+        ks, mid = self.ks, self.mid
         oh, ow = crop  # original slice shape; run extraction must use it
         # (reference crops before any host work, engines.py:392)
         ph, pw = pad_shape  # factor-padded input shape
@@ -347,7 +367,7 @@ class FusedStackEngine:
     # -----------------------------------------------------------------
 
     def _build_resident(self, num_classes, render_steps, upsampling,
-                        max_runs, crop, pad_shape, n, scan_k):
+                        max_runs, crop, pad_shape, n, B, scan_k):
         """Scan function over a DEVICE-RESIDENT volume chunk: instead of
         uploading (B, H, W) images per block, the (chunk, ph, pw) volume
         lives in HBM (uint8 = 4 bytes/px less than fp32) and each block
@@ -362,7 +382,7 @@ class FusedStackEngine:
         tunneled runtimes (tools/probe_resident.py) and would serialize
         the loop. Requires ``device_norms`` (or a float32 volume)."""
         module = self.module
-        B, ks, mid = self.block_size, self.ks, self.mid
+        ks, mid = self.ks, self.mid
 
         norms = self.device_norms
         if norms is not None:
@@ -447,10 +467,11 @@ class FusedStackEngine:
         if self.device_norms is None:
             volume = np.asarray(volume, np.float32)
         render_steps = int(2 + math.log2(upsampling))
-        B, ks, mid = self.block_size, self.ks, self.mid
+        ks, mid = self.ks, self.mid
         n, oh, ow = volume.shape
         ph = (-oh) % self.padding_factor + oh
         pw = (-ow) % self.padding_factor + ow
+        B = self._resolve_block((ph, pw), n)
         H, W = ph * upsampling, pw * upsampling
         if self._num_classes is None:
             self._num_classes = max(
@@ -462,12 +483,12 @@ class FusedStackEngine:
         n_padded = block_starts[-1] + B
 
         fn_key = ("resident", render_steps, upsampling, (oh, ow), max_runs,
-                  (ph, pw), volume.dtype.str, n)
+                  (ph, pw), volume.dtype.str, n, B)
         if not hasattr(self, "_resident_args"):
             self._resident_args = {}
         self._resident_args[fn_key] = (
             self._num_classes, render_steps, upsampling, max_runs,
-            (oh, ow), (ph, pw), n)
+            (oh, ow), (ph, pw), n, B)
 
         n_sem_ch = getattr(self.module, "num_classes", 1)
         h4 = ph // 4 if self.coarse_boundaries else ph
@@ -621,7 +642,7 @@ class FusedStackEngine:
     def infer_blocks(self, dataset, upsampling=1):
         assert math.log2(upsampling).is_integer()
         render_steps = int(2 + math.log2(upsampling))
-        B, ks, mid = self.block_size, self.ks, self.mid
+        ks, mid = self.ks, self.mid
         n = len(dataset)
 
         ex0 = dataset[0]
@@ -630,6 +651,7 @@ class FusedStackEngine:
             img0 = img0.astype(np.float32)
         ph = (-img0.shape[0]) % self.padding_factor + img0.shape[0]
         pw = (-img0.shape[1]) % self.padding_factor + img0.shape[1]
+        B = self._resolve_block((ph, pw), n)
         H, W = ph * upsampling, pw * upsampling  # sem resolution
         if self._num_classes is None:
             self._num_classes = max(
@@ -642,11 +664,11 @@ class FusedStackEngine:
         max_runs = self.max_runs or max(4096, 8 * H)
 
         fn_key = (render_steps, upsampling, tuple(ex0["size"]), max_runs,
-                  (ph, pw), img0.dtype.str)
+                  (ph, pw), img0.dtype.str, B)
         if fn_key not in self._block_fns:
             self._block_fns[fn_key] = self._build(
                 self._num_classes, render_steps, upsampling, max_runs,
-                tuple(ex0["size"]), (ph, pw))
+                tuple(ex0["size"]), (ph, pw), B)
         self._block_fn = self._block_fns[fn_key]
 
         # sem channel count: 1 for binary models, C for multiclass

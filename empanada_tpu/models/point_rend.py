@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from empanada_tpu.ops.resize import interpolate_scale
-from empanada_tpu.ops.sampling import point_sample
+from empanada_tpu.ops.sampling import point_sample, point_sample_full_grid
 
 __all__ = [
     "calculate_uncertainty",
@@ -143,12 +143,23 @@ class PointRendSemSegHead(nn.Module):
 
         steps = self.subdivision_steps if render_steps is None else render_steps
         logits = coarse_logits
-        for _ in range(steps):
+        for step in range(steps):
             logits = interpolate_scale(logits, 2, align_corners=False)
             unc = calculate_uncertainty(logits)
             idx, coords = get_uncertain_point_coords_on_grid(
                 unc, self.subdivision_num_points)
-            coarse_pts = point_sample(coarse_logits, coords)
+            # the coords are exactly the step's output-grid points, so
+            # the coarse side samples as a dense zero-gather grid lerp +
+            # ONE take instead of 4 bilinear-corner gathers (TPU gathers
+            # measured 0.5-0.8 ms per 8K points). Bit-exact on pow2
+            # grids; <=1e-5 otherwise (avoids point_sample's coord
+            # round-trip rounding)
+            dense_coarse = point_sample_full_grid(coarse_logits,
+                                                  2 ** (step + 1))
+            nb, hh, ww, cc = dense_coarse.shape
+            coarse_pts = jnp.take_along_axis(
+                dense_coarse.reshape(nb, hh * ww, cc),
+                idx[..., None], axis=1)
             fine_pts = point_sample(features, coords)
             point_logits = point_head(fine_pts, coarse_pts)
 

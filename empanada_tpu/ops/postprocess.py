@@ -204,12 +204,19 @@ def group_pixels(
 
 
 def weighted_bincount(bins, weights, n_bins):
-    """Weighted histogram without scatter (TPU-safe): sort bins with
-    their weights, prefix-sum, and diff at bin edges."""
-    keys, w = jax.lax.sort_key_val(bins, weights)
-    cw = jnp.concatenate([jnp.zeros((1,), w.dtype), jnp.cumsum(w)])
-    edges = jnp.searchsorted(keys, jnp.arange(n_bins + 1, dtype=bins.dtype))
-    return cw[edges[1:]] - cw[edges[:-1]]
+    """Weighted histogram without scatter (TPU-safe): a one-hot f32
+    matvec on the MXU. The previous sort + cumsum + searchsorted design
+    cost two device sorts and a vmapped while-loop per call (~3 ms per
+    8x512^2 block in the device trace); the one-hot contraction is ~free.
+
+    EXACT for non-negative integer weights with per-bin sums < 2^24: the
+    one-hot side is 0/1 (exact in any matmul precision), weights here
+    are per-cell pixel counts <= scale^2, and f32 accumulation of
+    integers is exact below 2^24 (callers: coarse vote tables, total
+    <= H*W per bin)."""
+    oh = (bins[:, None] == jnp.arange(n_bins, dtype=bins.dtype))
+    return (weights.astype(jnp.float32) @ oh.astype(jnp.float32)
+            ).astype(weights.dtype)
 
 
 def vote_count_table_coarse(ins_coarse, sem, thing_mask_table, scale,

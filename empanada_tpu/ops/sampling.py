@@ -8,10 +8,64 @@ position = coord * size - 0.5. NHWC layout; gather-based, jit/vmap-safe.
 
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 
-__all__ = ["point_sample"]
+__all__ = ["point_sample", "point_sample_full_grid"]
+
+
+def point_sample_full_grid(features: jax.Array, scale: int) -> jax.Array:
+    """``point_sample`` evaluated densely at EVERY output-grid point of
+    an upsampled-by-``scale`` map: output pixel (i, j) samples the source
+    at ((j + 0.5)/scale - 0.5, (i + 0.5)/scale - 0.5), i.e. exactly the
+    coords ``get_uncertain_point_coords_on_grid`` produces.
+
+    Because ``scale`` is static, every output phase p in [0, scale) has a
+    CONSTANT source offset and lerp weight, so the whole map assembles
+    from pads, slices and elementwise lerps — no gather at all. TPU
+    gathers cost ~0.5-0.8 ms per 8K points per corner in the render loop
+    (device trace); this is the zero-gather replacement for the
+    coarse-logit side. Arithmetic matches point_sample exactly: x-lerp
+    then y-lerp in f32, zero contribution outside the grid."""
+    n, h, w, c = features.shape
+
+    def lerp_axis(x, axis, size):
+        # phase p: src = (p + 0.5)/scale - 0.5 + k, constant offset/weight
+        parts = []
+        for p in range(scale):
+            src = (p + 0.5) / scale - 0.5
+            lo = math.floor(src)
+            t = jnp.float32(src - lo)
+
+            def shifted(d):
+                if d == 0:
+                    return x
+                pad = [(0, 0)] * x.ndim
+                if d < 0:  # index k-1: zero-pad front, drop tail
+                    pad[axis] = (-d, 0)
+                    sl = [slice(None)] * x.ndim
+                    sl[axis] = slice(0, size)
+                else:  # index k+1: drop head, zero-pad back
+                    pad[axis] = (0, d)
+                    sl = [slice(None)] * x.ndim
+                    sl[axis] = slice(d, size + d)
+                return jnp.pad(x, pad)[tuple(sl)]
+
+            v0 = shifted(lo)
+            v1 = shifted(lo + 1)
+            parts.append(v0 * (1 - t) + v1 * t)
+        # interleave phases: out[..., k*scale + p, ...]
+        stacked = jnp.stack(parts, axis=axis + 1)
+        shape = list(x.shape)
+        shape[axis] = size * scale
+        return stacked.reshape(shape)
+
+    x = features.astype(jnp.float32)
+    x = lerp_axis(x, 2, w)   # x-lerp first (point_sample order)
+    x = lerp_axis(x, 1, h)
+    return x
 
 
 def point_sample(features: jax.Array, point_coords: jax.Array,

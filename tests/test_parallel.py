@@ -120,9 +120,12 @@ class TestMeshFusedEngine:
                       median_kernel_size=3, padding_factor=16,
                       max_centers=64)
         meshed = FusedStackEngine(model, variables, mesh=mesh, **kwargs)
-        assert meshed.block_size == 8 * mesh.size  # per-device batch 8
-        single = FusedStackEngine(model, variables,
-                                  block_size=meshed.block_size, **kwargs)
+        # auto block: at least 8 slices PER DEVICE, whole-stack clamped,
+        # mesh-divisible (here: 70+1 slices -> one 72-slice dispatch)
+        B = meshed._resolve_block((32, 32), D)
+        assert B % mesh.size == 0 and B // mesh.size >= 8, B
+        single = FusedStackEngine(model, variables, block_size=B,
+                                  **kwargs)
 
         got_m = {z: (np.asarray(p), np.asarray(r[0][:int(r[3])]))
                  for z, p, r in meshed.infer_stack(DS())}
@@ -133,8 +136,8 @@ class TestMeshFusedEngine:
         for z in range(D):
             assert np.array_equal(got_s[z][0], got_m[z][0]), z
             assert np.array_equal(got_s[z][1], got_m[z][1]), z
-        # 70 slices + median tail at block 64 -> 2 dispatches (vs 9+ at
-        # the old per-device-batch-1 block of 8)
+        # 70 slices + median tail -> 1-2 dispatches (vs 9+ at the old
+        # per-device-batch-1 block of 8)
         assert n_dispatch <= 2, n_dispatch
 
 
