@@ -94,20 +94,30 @@ def point_sample(features: jax.Array, point_coords: jax.Array,
     y0 = jnp.floor(y).astype(jnp.int32)
     wx = (x - jnp.floor(x))[..., None]
     wy = (y - jnp.floor(y))[..., None]
-    x1 = x0 + 1
-    y1 = y0 + 1
 
-    def corner(yy, xx):
-        valid = ((yy >= 0) & (yy < h) & (xx >= 0) & (xx < w))
-        yc = jnp.clip(yy, 0, h - 1)
-        xc = jnp.clip(xx, 0, w - 1)
-        vals = jax.vmap(lambda f, a, b: f[a, b])(features, yc, xc)
-        return vals * valid[..., None].astype(vals.dtype)
+    # ONE 2x2-patch gather per image instead of 4 corner gathers: TPU
+    # gather cost is per-point overhead (~70-85 ns/point regardless of
+    # payload), so fetching each point's 2x2 neighborhood in one op is
+    # ~2x faster (tools/probe_gather.py: 1.7 vs 3.4 ms at 8x8192x256).
+    # grid_sample zeros padding comes from the physical zero ring: for
+    # in-range coords y0 in [-1, h-1], so patch starts y0+1 in [0, h]
+    # always index the padded array in bounds; the clip only guards
+    # out-of-range coords (clamping them like the old corner clamp).
+    fp = jnp.pad(features, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    limit = jnp.array([h, w], jnp.int32)
 
-    v00 = corner(y0, x0)
-    v01 = corner(y0, x1)
-    v10 = corner(y1, x0)
-    v11 = corner(y1, x1)
+    def per_image(fi, yy, xx):
+        starts = jnp.clip(jnp.stack([yy + 1, xx + 1], axis=-1), 0, limit)
+        dnums = jax.lax.GatherDimensionNumbers(
+            offset_dims=(1, 2, 3), collapsed_slice_dims=(),
+            start_index_map=(0, 1))
+        return jax.lax.gather(fi, starts, dnums, slice_sizes=(2, 2, c))
+
+    patches = jax.vmap(per_image)(fp, y0, x0)  # (N, P, 2, 2, C)
+    v00 = patches[:, :, 0, 0]
+    v01 = patches[:, :, 0, 1]
+    v10 = patches[:, :, 1, 0]
+    v11 = patches[:, :, 1, 1]
 
     top = v00 * (1 - wx) + v01 * wx
     bot = v10 * (1 - wx) + v11 * wx

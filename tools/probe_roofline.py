@@ -28,6 +28,9 @@ def build_block_fn():
 
     from empanada_tpu.inference.fused import FusedStackEngine
     from empanada_tpu.models import create_model
+    from empanada_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     model = create_model("PanopticBiFPNPR", encoder="regnety_6p4gf",
                          num_classes=1, dtype="bfloat16")
