@@ -56,6 +56,37 @@ from empanada_tpu.ops.resize import factor_pad
 
 __all__ = ["FusedStackEngine"]
 
+# Jitted block functions shared ACROSS engine instances. jax.jit keys its
+# executable cache on the Python function object, and every engine builds
+# fresh closures — so a second run_inference3d call in the same process
+# (or the 3 per-axis engines of older code) would re-trace and re-lower
+# every per-shape graph even though the XLA binary is already in the
+# persistent cache (measured ~15-22 s of a 36 s orthoplane pass,
+# /tmp cProfile 2026-08-17). Keyed on every value the trace closes over:
+# module (flax modules hash by config), shapes, norm constants, and all
+# postprocess parameters. Variables are call arguments, never part of the
+# key.
+_BLOCK_FN_CACHE = {}
+
+# Device-pinned variables shared across engine instances: re-uploading a
+# MitoNet-class param tree through the tunnel costs ~1.7-2.3 s per
+# engine construction (cProfile 2026-08-17). Keyed by host-tree identity
+# + placement; the value keeps the HOST tree alive so its id cannot be
+# recycled.
+_PINNED_VARS_CACHE = {}
+
+
+def _pinned_variables(variables, placement):
+    # Device and NamedSharding both hash by content
+    key = (id(variables), placement)
+    hit = _PINNED_VARS_CACHE.get(key)
+    if hit is not None and hit[0] is variables:
+        return hit[1]
+    pinned = jax.device_put(variables, placement)
+    jax.block_until_ready(pinned)
+    _PINNED_VARS_CACHE[key] = (variables, pinned)
+    return pinned
+
 
 class _PackedGroup:
     """k flat packed buffers stacked on device -> ONE D2H transfer,
@@ -190,16 +221,14 @@ class FusedStackEngine:
             from empanada_tpu.parallel.mesh import (
                 batch_sharding, replicated_sharding)
 
-            self.variables = jax.device_put(
+            self.variables = _pinned_variables(
                 variables, replicated_sharding(mesh))
             self._image_sharding = batch_sharding(mesh)
         else:
             # pin params to the compute device ONCE: host-committed
             # variables would re-transfer every leaf on every block call
             # (~700 H2D ops per block)
-            device = jax.devices()[0]
-            self.variables = jax.device_put(variables, device)
-            jax.block_until_ready(self.variables)
+            self.variables = _pinned_variables(variables, jax.devices()[0])
             self._image_sharding = None
 
     # -----------------------------------------------------------------
@@ -223,6 +252,35 @@ class FusedStackEngine:
             # mesh size
             B = min(B, -(-(-(-need // 8) * 8) // mf) * mf)
         return B
+
+    def _trace_key(self, kind, num_classes, render_steps, upsampling,
+                   max_runs, crop, pad_shape, B, extra=()):
+        """Everything the block-function trace closes over, for the
+        process-wide _BLOCK_FN_CACHE."""
+        norms = self.device_norms
+        if norms is not None:
+            mean = float(
+                norms["mean"] if isinstance(norms, dict) else norms[0])
+            std = float(
+                norms["std"] if isinstance(norms, dict) else norms[1])
+            norm_key = (mean, std)
+        else:
+            norm_key = None
+        key = (kind, self.module, num_classes, render_steps, upsampling,
+               max_runs, tuple(crop), tuple(pad_shape), B, self.ks,
+               norm_key, tuple(self.thing_list), self.label_divisor,
+               self.stuff_area, self.void_label, self.nms_threshold,
+               self.nms_kernel, self.confidence_thr, self.max_centers,
+               self.coarse_boundaries, self._mesh, tuple(extra))
+        try:
+            hash(key)
+        except TypeError:
+            # module configs with unhashable fields fall back to object
+            # identity (still correct: the cached fn's closure keeps the
+            # module alive, so its id cannot be recycled)
+            key = (kind, id(self.module)) + key[2:-2] + (id(self._mesh),
+                                                         tuple(extra))
+        return key
 
     def _norm_params(self, crop, pad_shape, upsampling):
         """Device-normalization constants: (mean, std, pad_mask) — the
@@ -288,6 +346,11 @@ class FusedStackEngine:
 
     def _build(self, num_classes, render_steps, upsampling, max_runs,
                crop, pad_shape, B):
+        cache_key = self._trace_key(
+            "stream", num_classes, render_steps, upsampling, max_runs,
+            crop, pad_shape, B)
+        if cache_key in _BLOCK_FN_CACHE:
+            return _BLOCK_FN_CACHE[cache_key]
         module = self.module
         ks, mid = self.ks, self.mid
         oh, ow = crop  # original slice shape; run extraction must use it
@@ -358,11 +421,14 @@ class FusedStackEngine:
 
             rep = replicated_sharding(self._mesh)
             bsh = batch_sharding(self._mesh)
-            return jax.jit(
+            fn = jax.jit(
                 block_fn, donate_argnums=(1, 2, 3),
                 in_shardings=(rep, rep, rep, rep, bsh, rep),
                 out_shardings=(rep, rep, rep, bsh, bsh))
-        return jax.jit(block_fn, donate_argnums=(1, 2, 3))
+        else:
+            fn = jax.jit(block_fn, donate_argnums=(1, 2, 3))
+        _BLOCK_FN_CACHE[cache_key] = fn
+        return fn
 
     # -----------------------------------------------------------------
 
@@ -381,6 +447,11 @@ class FusedStackEngine:
         per-block host scalar commits are synchronous ~22 ms each on
         tunneled runtimes (tools/probe_resident.py) and would serialize
         the loop. Requires ``device_norms`` (or a float32 volume)."""
+        cache_key = self._trace_key(
+            "resident", num_classes, render_steps, upsampling, max_runs,
+            crop, pad_shape, B, extra=(n, scan_k))
+        if cache_key in _BLOCK_FN_CACHE:
+            return _BLOCK_FN_CACHE[cache_key]
         module = self.module
         ks, mid = self.ks, self.mid
 
@@ -446,7 +517,9 @@ class FusedStackEngine:
             cs, cc, co, z0 = carry
             return cs, cc, co, z0, pan, packed  # (k, B, oh, ow), (k, L)
 
-        return jax.jit(scan_fn, donate_argnums=(1, 2, 3, 4))
+        fn = jax.jit(scan_fn, donate_argnums=(1, 2, 3, 4))
+        _BLOCK_FN_CACHE[cache_key] = fn
+        return fn
 
     def infer_blocks_resident(self, volume, upsampling=1,
                               chunk_slices=None):
