@@ -6,9 +6,11 @@ for the TPU compilation model:
 - ``find_instance_centers``: threshold + max-pool NMS like the reference,
   but returns a *fixed-size* (max_centers, 2) coordinate buffer + validity
   mask via top_k instead of a dynamic nonzero.
-- ``group_pixels``: nearest-center assignment computed as a lax.scan over
-  center chunks (running min-distance), bounding memory exactly like the
-  reference's chunked_pixel_grouping without host loops.
+- ``group_pixels``: nearest-center assignment as ONE fused (HW, K)
+  distance slab folded into an argmin reduce (XLA fuses the broadcast
+  into the reduction — no materialization), falling back to a lax.scan
+  over center chunks above a slab budget, bounding memory exactly like
+  the reference's chunked_pixel_grouping without host loops.
 - ``merge_semantic_and_instance``: the reference's per-instance Python
   loops (majority class vote, per-class renumbering, stuff-area filter)
   become segment reductions: one scatter-add builds the (instance, class)
@@ -143,7 +145,12 @@ def group_pixels(
         step: full-res pixels per offsets-grid cell (4 for the coarse path,
             reference engines.py:263).
         use_pallas: route through the Pallas VMEM-streaming kernel
-            (ops/pallas_group.py). Default: auto (on TPU backends).
+            (ops/pallas_group.py). Default OFF: the kernel's 256-deep
+            fori_loop of scalar-broadcast vector ops measured 8x SLOWER
+            than letting XLA fuse the whole (HW, K) distance slab into
+            one argmin reduce (8.7 vs 1.1 ms per 8x128^2x256 batch,
+            same-process alternated, bit-identical output — probe
+            2026-08-17). Opt in with EMPANADA_PALLAS_GROUP=1.
     Returns:
         instance_ids: (H, W) int32; 0 only if no valid centers.
     """
@@ -151,7 +158,7 @@ def group_pixels(
         import os
 
         use_pallas = (jax.default_backend() not in ("cpu",)
-                      and os.environ.get("EMPANADA_NO_PALLAS") != "1")
+                      and os.environ.get("EMPANADA_PALLAS_GROUP") == "1")
     if use_pallas:
         from empanada_tpu.ops.pallas_group import group_pixels_pallas
 
@@ -169,6 +176,17 @@ def group_pixels(
 
     ctr = centers.astype(jnp.float32) * step
     big = jnp.float32(1e10)
+
+    # one fused slab: XLA folds the broadcasted distance computation into
+    # the argmin reduce (no (HW, K) materialization), so the whole
+    # assignment is a single VPU pass. Guarded by a slab budget in case a
+    # fine-boundaries full-res call with huge K would materialize.
+    if h * w * k <= (1 << 25):
+        dy = loc[:, 0][:, None] - ctr[None, :, 0]
+        dx = loc[:, 1][:, None] - ctr[None, :, 1]
+        d = jnp.where(valid[None, :], dy * dy + dx * dx, big)
+        ids = 1 + jnp.argmin(d, axis=1).astype(jnp.int32)
+        return ids.reshape(h, w)
 
     def sq_dist(c):
         # squared euclidean distance — argmin-equivalent to the reference's

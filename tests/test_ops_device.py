@@ -88,6 +88,27 @@ def test_fg_runs_agrees_with_extract_runs():
     np.testing.assert_array_equal(v_fg[:n], v_all[keep][:n])
 
 
+def test_group_pixels_pallas_matches_xla_slab():
+    """The opt-in Pallas VMEM grouping kernel (EMPANADA_PALLAS_GROUP=1)
+    must stay bit-identical to the default fused-slab XLA path
+    (interpret mode off-TPU). On-chip the two were measured identical
+    over random content (tools/probe_group2 2026-08-17)."""
+    from empanada_tpu.ops.pallas_group import group_pixels_pallas
+    from empanada_tpu.ops.postprocess import group_pixels
+
+    rng = np.random.default_rng(5)
+    k, h, w = 64, 32, 48
+    centers = jnp.asarray(rng.integers(0, h, (k, 2)), jnp.int32)
+    valid = jnp.asarray(rng.random(k) < 0.5)
+    offsets = jnp.asarray(rng.standard_normal((h, w, 2)) * 6, jnp.float32)
+    for step in (1.0, 4.0):
+        want = np.asarray(group_pixels(centers, valid, offsets, step=step,
+                                       use_pallas=False))
+        got = np.asarray(group_pixels_pallas(centers, valid, offsets,
+                                             step=step, interpret=True))
+        np.testing.assert_array_equal(got, want)
+
+
 def np_point_sample(features, coords):
     """Naive 4-corner bilinear with zero padding (the prior formulation)."""
     n, h, w, c = features.shape
