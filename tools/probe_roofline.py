@@ -79,6 +79,41 @@ def capture(engine):
           f"({24 / wall:.1f} slices/s)")
 
 
+def parse_chrome_trace():
+    """Fallback parser: per-op device time straight from the chrome
+    trace json the profiler also writes (no tensorflow/protobuf deps —
+    the plugin converter needs PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION=
+    python and a matching pywrap build, neither guaranteed here)."""
+    import collections
+    import gzip
+
+    paths = glob.glob(os.path.join(
+        TRACE_DIR, "**", "*.trace.json.gz"), recursive=True)
+    if not paths:
+        print("no chrome trace found")
+        return False
+    path = max(paths, key=os.path.getmtime)
+    with gzip.open(path) as f:
+        data = json.load(f)
+    events = data.get("traceEvents", data if isinstance(data, list) else [])
+    pids = {e["pid"]: e["args"].get("name", "") for e in events
+            if e.get("ph") == "M" and e.get("name") == "process_name"}
+    dur = collections.Counter()
+    cnt = collections.Counter()
+    total = 0.0
+    for e in events:
+        if (e.get("ph") == "X" and "dur" in e
+                and "TPU" in pids.get(e.get("pid"), "")):
+            dur[e.get("name", "?")] += e["dur"]
+            cnt[e.get("name", "?")] += 1
+            total += e["dur"]
+    print(f"[chrome trace] total device-op time: {total / 1e3:.1f} ms "
+          f"over {sum(cnt.values())} events  ({path})")
+    for name, d in dur.most_common(40):
+        print(f"{d / 1e3:9.2f} ms  x{cnt[name]:4d}  {name[:100]}")
+    return True
+
+
 def parse_trace():
     """Summarize per-op self time from the captured xplane protobuf via
     tensorboard_plugin_profile's converter."""
@@ -128,4 +163,5 @@ def parse_trace():
 if __name__ == "__main__":
     engine = build_block_fn()
     capture(engine)
-    parse_trace()
+    if not parse_trace():
+        parse_chrome_trace()
