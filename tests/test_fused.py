@@ -320,3 +320,33 @@ def test_run_overflow_fallback_under_load():
                 a, b = s_tiny[cls][iid], s_ample[cls][iid]
                 np.testing.assert_array_equal(a["starts"], b["starts"])
                 np.testing.assert_array_equal(a["runs"], b["runs"])
+
+
+def test_block_fn_and_pinned_vars_shared_across_engines(model_and_vol):
+    """Round-3 regression: jit keys on the closure object, so fresh
+    engines re-traced every graph (~22 s of a 36 s orthoplane pass) and
+    re-uploaded params (~2 s). Same-config engines must reuse BOTH the
+    jitted block function and the device-pinned variable tree."""
+    model, variables, vol = model_and_vol
+    kwargs = dict(thing_list=[1], label_divisor=100, stuff_area=0,
+                  median_kernel_size=3, padding_factor=16, max_centers=64,
+                  block_size=4)
+
+    a = FusedStackEngine(model, variables, **kwargs)
+    for _ in a.infer_stack(_DS(vol)):
+        pass
+    b = FusedStackEngine(model, variables, **kwargs)
+    for _ in b.infer_stack(_DS(vol)):
+        pass
+
+    assert a._block_fn is b._block_fn
+    la = jax.tree_util.tree_leaves(a.variables)
+    lb = jax.tree_util.tree_leaves(b.variables)
+    assert all(x is y for x, y in zip(la, lb))
+
+    # a DIFFERENT postprocess config must NOT share the block fn
+    c = FusedStackEngine(model, variables, **{**kwargs,
+                                              "label_divisor": 200})
+    for _ in c.infer_stack(_DS(vol)):
+        pass
+    assert c._block_fn is not b._block_fn
