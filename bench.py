@@ -39,7 +39,13 @@ import numpy as np
 
 _nullcontext = contextlib.nullcontext
 
-REFERENCE_CPU_SLICES_PER_SEC = 0.556  # measured, tools/measure_baseline.py
+# Both measured with tools/measure_baseline.py on this host, 1 torch
+# thread. "Realistic" runs the SAME ridge-fitted bench weights
+# (inverse-converted to torch) on the same synthetic EM content as this
+# bench (62 inst/slice through the reference's full postprocess);
+# "content-free" is the zero-instance ceiling mode.
+REFERENCE_CPU_SLICES_PER_SEC = 0.4853       # --realistic, 2026-08-17
+REFERENCE_CPU_SLICES_PER_SEC_FREE = 0.556   # content-free
 CPU_CORE_TO_GPU_FACTOR = 18.0          # documented estimate, BASELINE.md
 N_SLICES = 128
 H = W = 512
@@ -206,7 +212,8 @@ def main():
             m: round(N_SLICES / min(ts), 2) for m, ts in times.items()},
         "vs_est_gpu": round(
             slices_per_sec
-            / (REFERENCE_CPU_SLICES_PER_SEC * CPU_CORE_TO_GPU_FACTOR), 2),
+            / (REFERENCE_CPU_SLICES_PER_SEC_FREE
+               * CPU_CORE_TO_GPU_FACTOR), 2),
     }
 
     # full orthoplane product flow on a 128^3-class volume: 3 axes +
@@ -257,9 +264,11 @@ def main():
         # PRIMARY baseline: the measured reference-on-CPU number
         "vs_baseline": round(
             slices_per_sec / REFERENCE_CPU_SLICES_PER_SEC, 1),
-        "baseline_note": "ratio to MEASURED reference CPU 0.556 "
-                         "slices/s; vs_est_gpu in breakdown is the "
-                         "documented 18x extrapolation",
+        "baseline_note": "ratio to MEASURED reference CPU 0.4853 "
+                         "slices/s on the SAME realistic content "
+                         "(content-free reference ceiling 0.556); "
+                         "vs_est_gpu in breakdown is the documented "
+                         "18x extrapolation",
         "breakdown": breakdown,
     }))
 
