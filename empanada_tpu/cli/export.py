@@ -25,6 +25,13 @@ def parse_args(argv=None):
                         help="Also write a weight-only int8 artifact "
                              "(CPU-deployment analog of the reference's "
                              "fbgemm INT8 export)")
+    parser.add_argument("--from-torch", action="store_true",
+                        dest="from_torch",
+                        help="checkpoint is a torch artifact (plain "
+                             "torch.save checkpoint OR a TorchScript "
+                             "archive like the reference's distributed "
+                             "MitoNet .pth); structurally convert it "
+                             "into the config's model")
     return parser.parse_args(argv)
 
 
@@ -32,10 +39,24 @@ def main(argv=None):
     args = parse_args(argv)
 
     from empanada_tpu.config import load_config
-    from empanada_tpu.export import export_model
+    from empanada_tpu.export import export_model, import_torch_model
     from empanada_tpu.train.checkpoint import load_checkpoint
 
     config = load_config(args.config)
+    if args.from_torch:
+        arch = config["MODEL"]["arch"]
+        cfg_name = os.path.splitext(os.path.basename(args.config))[0]
+        name = args.name or f"{arch}_{cfg_name}"
+        desc = import_torch_model(
+            args.checkpoint, config["MODEL"], args.save_dir, name,
+            norms=config.get("DATASET", {}).get("norms"),
+            padding_factor=args.pf,
+            thing_list=config["DATASET"]["thing_list"],
+            labels=config["DATASET"]["labels"],
+            class_names=config["DATASET"].get("class_names"))
+        print(f"Imported torch artifact -> {args.save_dir}/{name}.yaml")
+        return
+
     state, meta = load_checkpoint(args.checkpoint)
 
     variables = {"params": state["params"]}

@@ -86,11 +86,18 @@ def parse_args(argv=None):
     # flag DEFAULTS; anything the user types explicitly still wins
     import sys
 
+    # real two-pass parse: a mini parser with ONLY -infer-config (handles
+    # "=value", prefix abbreviations, missing-value errors), then the
+    # recipe's keys become defaults on the main parser; explicit flags win
     scan = list(sys.argv[1:] if argv is None else argv)
-    if "-infer-config" in scan:
+    pre = argparse.ArgumentParser(add_help=False)
+    pre.add_argument("-infer-config", type=str, dest="infer_config",
+                     default=None)
+    pre_ns, _ = pre.parse_known_args(scan)
+    if pre_ns.infer_config is not None:
         from empanada_tpu.config import load_config
 
-        recipe = load_config(scan[scan.index("-infer-config") + 1])
+        recipe = load_config(pre_ns.infer_config)
         recipe.pop("BASE", None)
         dests = {a.dest for a in parser._actions}
         unknown = set(recipe) - dests

@@ -105,6 +105,98 @@ void etpu_pair_intersections(const int64_t* ranges_a, const int64_t* offs_a,
 }
 
 // ---------------------------------------------------------------------------
+// Sparse pairwise box overlap: emit all (ia, ib) pairs of half-open
+// N-d boxes with positive intersection volume, plus that volume.
+//
+// boxes_x: (n, 2*ndim) int64 rows [lo..., hi...]. Bucketed sweep on dim 0:
+// each B box registers in the dim-0 buckets its [lo0, hi0) covers; each A
+// box tests the candidates of its buckets (stamp array dedupes). Expected
+// near-linear for boxes spread through a volume (consensus runs this over
+// 10k+ 3D instances where the dense O(n*m) numpy block sweep dominated).
+// Returns the number of pairs (written if <= out_cap; caller re-calls with
+// a larger buffer otherwise). Self mode (boxes_a == boxes_b) still emits
+// (i, i) and both orders, matching the dense path.
+// ---------------------------------------------------------------------------
+int64_t etpu_box_overlap_pairs(const int64_t* boxes_a, int64_t na,
+                               const int64_t* boxes_b, int64_t nb,
+                               int64_t ndim, int64_t* out_pairs,
+                               int64_t* out_inter, int64_t out_cap) {
+  if (na <= 0 || nb <= 0) return 0;
+  const int64_t stride = 2 * ndim;
+
+  int64_t min_lo = INT64_MAX, max_hi = INT64_MIN;
+  for (int64_t j = 0; j < nb; ++j) {
+    min_lo = std::min(min_lo, boxes_b[j * stride]);
+    max_hi = std::max(max_hi, boxes_b[j * stride + ndim]);
+  }
+  if (max_hi <= min_lo) max_hi = min_lo + 1;
+  int64_t n_buckets = std::max<int64_t>(
+      1, std::min<int64_t>(nb, 1 << 14));
+  int64_t cell = std::max<int64_t>(1, (max_hi - min_lo + n_buckets - 1)
+                                   / n_buckets);
+  n_buckets = (max_hi - min_lo + cell - 1) / cell;
+
+  auto bucket_of = [&](int64_t x) {
+    int64_t b = (x - min_lo) / cell;
+    if (b < 0) b = 0;
+    if (b >= n_buckets) b = n_buckets - 1;
+    return b;
+  };
+
+  // CSR bucket index of B
+  std::vector<int64_t> counts(n_buckets + 1, 0);
+  for (int64_t j = 0; j < nb; ++j) {
+    int64_t lo = boxes_b[j * stride], hi = boxes_b[j * stride + ndim];
+    if (hi <= lo) continue;
+    counts[bucket_of(lo) + 1]++;
+    // spread over covered buckets
+    for (int64_t k = bucket_of(lo) + 1; k <= bucket_of(hi - 1); ++k)
+      counts[k + 1]++;
+  }
+  for (int64_t k = 0; k < n_buckets; ++k) counts[k + 1] += counts[k];
+  std::vector<int64_t> entries(counts[n_buckets]);
+  std::vector<int64_t> cursor(counts.begin(), counts.end() - 1);
+  for (int64_t j = 0; j < nb; ++j) {
+    int64_t lo = boxes_b[j * stride], hi = boxes_b[j * stride + ndim];
+    if (hi <= lo) continue;
+    for (int64_t k = bucket_of(lo); k <= bucket_of(hi - 1); ++k)
+      entries[cursor[k]++] = j;
+  }
+
+  std::vector<int64_t> stamp(nb, -1);
+  int64_t count = 0;
+  for (int64_t i = 0; i < na; ++i) {
+    const int64_t* a = boxes_a + i * stride;
+    if (a[ndim] <= a[0]) continue;
+    int64_t k0 = bucket_of(a[0]), k1 = bucket_of(a[ndim] - 1);
+    for (int64_t k = k0; k <= k1; ++k) {
+      for (int64_t e = counts[k]; e < counts[k + 1]; ++e) {
+        int64_t j = entries[e];
+        if (stamp[j] == i) continue;
+        stamp[j] = i;
+        const int64_t* b = boxes_b + j * stride;
+        int64_t vol = 1;
+        for (int64_t d = 0; d < ndim; ++d) {
+          int64_t lo = std::max(a[d], b[d]);
+          int64_t hi = std::min(a[ndim + d], b[ndim + d]);
+          if (hi <= lo) { vol = 0; break; }
+          vol *= hi - lo;
+        }
+        if (vol > 0) {
+          if (count < out_cap) {
+            out_pairs[2 * count] = i;
+            out_pairs[2 * count + 1] = j;
+            out_inter[count] = vol;
+          }
+          count++;
+        }
+      }
+    }
+  }
+  return count;
+}
+
+// ---------------------------------------------------------------------------
 // Run-based connected components over a raveled 2D image.
 //
 // Input: n row-split runs (start, end in raveled coords; runs never cross a

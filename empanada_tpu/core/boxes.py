@@ -27,14 +27,24 @@ def box_area(boxes: np.ndarray) -> np.ndarray:
 
 
 def box_intersection(boxes1: np.ndarray, boxes2: np.ndarray | None = None) -> np.ndarray:
-    """Pairwise intersection area/volume matrix of shape (n, m)."""
+    """Pairwise intersection area/volume matrix of shape (n, m).
+
+    Computed per dimension with ufunc .outer products: the obvious
+    (n, m, ndim) broadcast + np.clip(..., 0, None) form was 20-40x
+    slower at consensus scale (np.clip with a None bound takes numpy's
+    slow path; profiled 38 s of a 66 s 15k-box consensus)."""
     boxes1 = np.asarray(boxes1)
     boxes2 = boxes1 if boxes2 is None else np.asarray(boxes2)
     ndim = boxes1.shape[1] // 2
 
-    lo = np.maximum(boxes1[:, None, :ndim], boxes2[None, :, :ndim])
-    hi = np.minimum(boxes1[:, None, ndim:], boxes2[None, :, ndim:])
-    return np.prod(np.clip(hi - lo, 0, None), axis=-1)
+    inter = None
+    for d in range(ndim):
+        lo = np.maximum.outer(boxes1[:, d], boxes2[:, d])
+        hi = np.minimum.outer(boxes1[:, ndim + d], boxes2[:, ndim + d])
+        ext = hi - lo
+        np.maximum(ext, 0, out=ext)
+        inter = ext if inter is None else np.multiply(inter, ext, out=inter)
+    return inter
 
 
 def merge_boxes(box1, box2):
@@ -80,25 +90,55 @@ def box_iou_pairs(boxes1: np.ndarray, boxes2: np.ndarray | None = None,
     numpy so large n*m never materializes at once.
     """
     boxes1 = np.asarray(boxes1)
-    boxes2 = boxes1 if boxes2 is None else np.asarray(boxes2)
+    self_pairs = boxes2 is None
+    boxes2 = boxes1 if self_pairs else np.asarray(boxes2)
 
     n, m = len(boxes1), len(boxes2)
     a1 = box_area(boxes1)
     a2 = box_area(boxes2)
 
+    if n * m > (1 << 16):
+        # native bucketed sweep (core/_native): near-linear in true-pair
+        # count; the numpy block path below is O(n*m) elementwise work,
+        # which dominated consensus at the product's thousands of 3D
+        # instances
+        from empanada_tpu.core import native
+
+        hit = native.box_overlap_pairs(boxes1, None if self_pairs
+                                       else boxes2)
+        if hit is not None:
+            pairs, inter = hit
+            rows, cols = pairs[:, 0], pairs[:, 1]
+            union = a1[rows] + a2[cols] - inter
+            return rows, cols, inter / union, inter
+
+    # sort-sweep prune on dim 0: with boxes2 sorted by lo0, a boxes1
+    # block only intersects the boxes2 prefix whose lo0 < its max hi0
+    # (everything after starts past the block's furthest end). Exact —
+    # only provably-empty block pairs are skipped. At consensus scale
+    # (10k+ 3D instances spread through a volume) this cuts the O(n*m)
+    # blocked work to near-linear.
+    order2 = np.argsort(boxes2[:, 0], kind="stable")
+    b2_sorted = boxes2[order2]
+    lo0_sorted = b2_sorted[:, 0]
+    ndim = boxes1.shape[1] // 2
+
     rows_out, cols_out, iou_out, inter_out = [], [], [], []
     for i0 in range(0, n, block):
         b1 = boxes1[i0:i0 + block]
-        for j0 in range(0, m, block):
-            b2 = boxes2[j0:j0 + block]
+        j_end = int(np.searchsorted(lo0_sorted, b1[:, ndim].max(),
+                                    side="left"))
+        for j0 in range(0, j_end, block):
+            b2 = b2_sorted[j0:min(j0 + block, j_end)]
             inter = box_intersection(b1, b2)
             r, c = np.nonzero(inter)
             if len(r) == 0:
                 continue
             iv = inter[r, c]
-            union = a1[i0 + r] + a2[j0 + c] - iv
+            cols_orig = order2[j0 + c]
+            union = a1[i0 + r] + a2[cols_orig] - iv
             rows_out.append(i0 + r)
-            cols_out.append(j0 + c)
+            cols_out.append(cols_orig)
             iou_out.append(iv / union)
             inter_out.append(iv)
 

@@ -95,6 +95,13 @@ def get_lib():
         except AttributeError:
             pass  # stale .so; callers fall back
 
+        try:
+            lib.etpu_box_overlap_pairs.restype = i64
+            lib.etpu_box_overlap_pairs.argtypes = [p64, i64, p64, i64,
+                                                   i64, p64, p64, i64]
+        except AttributeError:
+            pass  # stale .so; callers fall back
+
         _lib = lib
         return _lib
 
@@ -156,6 +163,29 @@ def pair_intersections(ranges_a_cat, offs_a, ranges_b_cat, offs_b, pairs):
     lib.etpu_pair_intersections(ranges_a_cat, offs_a, ranges_b_cat, offs_b,
                                 pairs, len(pairs), out)
     return out
+
+
+def box_overlap_pairs(boxes_a, boxes_b=None):
+    """All (ia, ib) index pairs of half-open N-d boxes with positive
+    intersection, plus the intersection volumes. boxes: (n, 2*ndim)
+    int64. Self mode (boxes_b=None) includes (i, i) and both orders,
+    like the dense screen. Returns (pairs (k, 2), inter (k,)) or None
+    without the library."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "etpu_box_overlap_pairs"):
+        return None
+    a = _c64(boxes_a)
+    b = a if boxes_b is None else _c64(boxes_b)
+    ndim = a.shape[1] // 2
+    cap = max(64, 16 * max(len(a), len(b)))
+    while True:
+        pairs = np.empty((cap, 2), dtype=np.int64)
+        inter = np.empty(cap, dtype=np.int64)
+        n = lib.etpu_box_overlap_pairs(a, len(a), b, len(b), ndim,
+                                       pairs, inter, cap)
+        if n <= cap:
+            return pairs[:n].copy(), inter[:n].copy()
+        cap = n
 
 
 def runs_ccl(starts, ends, values, width: int, connectivity: int = 8):

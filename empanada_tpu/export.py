@@ -30,7 +30,58 @@ from empanada_tpu.models import create_model
 
 __all__ = ["export_model", "load_exported_model", "save_params",
            "load_params", "quantize_variables_int8",
-           "dequantize_variables_int8"]
+           "dequantize_variables_int8", "import_torch_model"]
+
+
+def import_torch_model(pth_path, model_config, save_dir, name,
+                       norms=None, **export_kw):
+    """Ingest a reference-ecosystem torch artifact into this framework.
+
+    ``pth_path`` may be EITHER a plain torch checkpoint or a TorchScript
+    archive — the format the product's distributed MitoNet weights ship
+    in (reference scripts/pdl_inference3d.py:69-74 loads them with
+    torch.jit.load). The weights are structurally converted into the
+    same-architecture flax model described by ``model_config`` (an
+    export-descriptor ``model_config`` dict: {"arch": ..., "encoder":
+    ..., ...}) and written as a standard exported descriptor, so a user
+    of the reference can take their deployed .pth straight into
+    cli/infer3d here.
+
+    Returns the descriptor dict (export_model's return value).
+    """
+    from empanada_tpu.train.torch_weights import (
+        convert_encoder_state_dict,
+        load_torch_state_dict,
+    )
+
+    sd, sd_norms = load_torch_state_dict(pth_path)
+
+    cfg = dict(model_config)
+    model = create_model(cfg.pop("arch"), **cfg)
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu = None
+    import contextlib
+
+    with jax.default_device(cpu) if cpu else contextlib.nullcontext():
+        variables = model.init(
+            {"params": jax.random.key(0), "points": jax.random.key(1),
+             "dropout": jax.random.key(2)},
+            np.zeros((1, 128, 128, 1), np.float32), train=False)
+
+    params, batch_stats, report = convert_encoder_state_dict(
+        sd, variables["params"], variables.get("batch_stats", {}))
+    if report["leftover"]:
+        raise ValueError(
+            f"torch artifact does not structurally match model_config "
+            f"{model_config}: unconsumed torch params {report['leftover']}")
+
+    out = {"params": params}
+    if batch_stats:
+        out["batch_stats"] = batch_stats
+    return export_model(out, model_config, save_dir, name,
+                        norms=norms or sd_norms, **export_kw)
 
 
 def quantize_variables_int8(variables, module_paths=None):

@@ -65,15 +65,40 @@ __all__ = ["FusedStackEngine"]
 # /tmp cProfile 2026-08-17). Keyed on every value the trace closes over:
 # module (flax modules hash by config), shapes, norm constants, and all
 # postprocess parameters. Variables are call arguments, never part of the
-# key.
-_BLOCK_FN_CACHE = {}
+# key. Bounded LRU: each entry retains a compiled executable (and the
+# engine objects its closure captured), so a long-lived process sweeping
+# configs (bench/A-B tools) would otherwise grow without bound.
+import collections
+
+
+class _LRU(collections.OrderedDict):
+    def __init__(self, cap):
+        super().__init__()
+        self.cap = cap
+
+    def get(self, key, default=None):
+        if key in self:
+            self.move_to_end(key)
+            return self[key]
+        return default
+
+    def __setitem__(self, key, value):
+        super().__setitem__(key, value)
+        self.move_to_end(key)
+        while len(self) > self.cap:
+            self.popitem(last=False)
+
+
+_BLOCK_FN_CACHE = _LRU(64)
 
 # Device-pinned variables shared across engine instances: re-uploading a
 # MitoNet-class param tree through the tunnel costs ~1.7-2.3 s per
 # engine construction (cProfile 2026-08-17). Keyed by host-tree identity
 # + placement; the value keeps the HOST tree alive so its id cannot be
-# recycled.
-_PINNED_VARS_CACHE = {}
+# recycled. Bounded LRU: each pinned tree is ~30M params of HBM, so the
+# cache holds the few most recent (evicted device copies free once the
+# last engine referencing them drops).
+_PINNED_VARS_CACHE = _LRU(4)
 
 
 def _pinned_variables(variables, placement):
@@ -349,8 +374,9 @@ class FusedStackEngine:
         cache_key = self._trace_key(
             "stream", num_classes, render_steps, upsampling, max_runs,
             crop, pad_shape, B)
-        if cache_key in _BLOCK_FN_CACHE:
-            return _BLOCK_FN_CACHE[cache_key]
+        hit = _BLOCK_FN_CACHE.get(cache_key)
+        if hit is not None:
+            return hit
         module = self.module
         ks, mid = self.ks, self.mid
         oh, ow = crop  # original slice shape; run extraction must use it
@@ -450,8 +476,9 @@ class FusedStackEngine:
         cache_key = self._trace_key(
             "resident", num_classes, render_steps, upsampling, max_runs,
             crop, pad_shape, B, extra=(n, scan_k))
-        if cache_key in _BLOCK_FN_CACHE:
-            return _BLOCK_FN_CACHE[cache_key]
+        hit = _BLOCK_FN_CACHE.get(cache_key)
+        if hit is not None:
+            return hit
         module = self.module
         ks, mid = self.ks, self.mid
 

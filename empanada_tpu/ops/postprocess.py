@@ -181,12 +181,16 @@ def group_pixels(
     # the argmin reduce (no (HW, K) materialization), so the whole
     # assignment is a single VPU pass. Guarded by a slab budget in case a
     # fine-boundaries full-res call with huge K would materialize.
+    any_valid = jnp.any(valid)
     if h * w * k <= (1 << 25):
         dy = loc[:, 0][:, None] - ctr[None, :, 0]
         dx = loc[:, 1][:, None] - ctr[None, :, 1]
         d = jnp.where(valid[None, :], dy * dy + dx * dx, big)
         ids = 1 + jnp.argmin(d, axis=1).astype(jnp.int32)
-        return ids.reshape(h, w)
+        # with zero valid centers argmin picks index 0 arbitrarily; the
+        # contract (and reference get_instance_segmentation on empty ctr)
+        # is all-zero ids
+        return jnp.where(any_valid, ids, 0).reshape(h, w)
 
     def sq_dist(c):
         # squared euclidean distance — argmin-equivalent to the reference's
@@ -197,7 +201,7 @@ def group_pixels(
     if k <= chunk:
         d = jnp.where(valid[:, None], sq_dist(ctr), big)
         ids = 1 + jnp.argmin(d, axis=0).astype(jnp.int32)
-        return ids.reshape(h, w)
+        return jnp.where(any_valid, ids, 0).reshape(h, w)
 
     n_chunks = k // chunk
     ctr_chunks = ctr.reshape(n_chunks, chunk, 2)
@@ -227,11 +231,14 @@ def weighted_bincount(bins, weights, n_bins):
     cost two device sorts and a vmapped while-loop per call (~3 ms per
     8x512^2 block in the device trace); the one-hot contraction is ~free.
 
-    EXACT for non-negative integer weights with per-bin sums < 2^24: the
-    one-hot side is 0/1 (exact in any matmul precision), weights here
-    are per-cell pixel counts <= scale^2, and f32 accumulation of
-    integers is exact below 2^24 (callers: coarse vote tables, total
-    <= H*W per bin)."""
+    EXACTNESS BOUND (callers must respect it): under TPU default matmul
+    precision the f32 weights operand may be truncated to bf16 (8-bit
+    mantissa), so each individual weight must be an integer <= 256 to be
+    representable exactly; per-bin sums must stay < 2^24 (f32 integer
+    accumulation). The one-hot side is 0/1 (exact at any precision).
+    Current callers pass per-cell pixel counts <= scale^2 = 16, well
+    inside the bound. For larger integer weights, digit-split like
+    _small_table_lookup_int instead of calling this."""
     oh = (bins[:, None] == jnp.arange(n_bins, dtype=bins.dtype))
     return (weights.astype(jnp.float32) @ oh.astype(jnp.float32)
             ).astype(weights.dtype)

@@ -79,6 +79,13 @@ def point_sample(features: jax.Array, point_coords: jax.Array,
     outside the grid contribute zero. This matters: PointRend's eval grid
     coords place the border ring at source -0.25, where zero-padding and
     clamping visibly differ.
+
+    PRECONDITION: coords must lie in [0, 1] (every current caller's do).
+    The single-patch gather zero-pads exactly one ring, so points up to
+    half a cell outside the grid still see grid_sample zeros; points
+    farther out (coords well outside [0, 1]) clamp to an edge patch
+    instead of grid_sample's all-zeros — don't rely on zero padding
+    outside the unit square.
     """
     n, h, w, c = features.shape
 

@@ -37,17 +37,46 @@ def reorder_like(template, tree):
     return traverse_util.unflatten_dict({k: flat[k] for k in flat_t})
 
 
+def _is_torchscript_archive(path):
+    """True if ``path`` is a TorchScript zip (torch.jit.save): those hold
+    a ``constants.pkl`` + ``code/`` tree instead of torch.save's
+    ``data.pkl``. The product's distributed MitoNet weights are exactly
+    this format (reference scripts/pdl_inference3d.py:69-74 and
+    finetune.py:94 load them with torch.jit.load)."""
+    import zipfile
+
+    if not zipfile.is_zipfile(path):
+        return False
+    try:
+        with zipfile.ZipFile(path) as zf:
+            names = zf.namelist()
+    except Exception:
+        return False
+    return any(n.endswith("constants.pkl") for n in names)
+
+
 def load_torch_state_dict(path):
-    """Load a torch checkpoint on CPU; returns (state_dict, norms)."""
+    """Load a torch checkpoint on CPU; returns (state_dict, norms).
+
+    Accepts BOTH plain torch.save checkpoints (state dicts / dicts with a
+    'state_dict' key, the CEM pretraining format) and TorchScript
+    archives (torch.jit.save — the format the reference's deployed
+    MitoNet_v1.pth models ship in): the latter are loaded with
+    torch.jit.load and their recursive module state_dict is extracted."""
     import torch
 
-    state = torch.load(path, map_location="cpu", weights_only=False)
-    if isinstance(state, dict) and "state_dict" in state:
-        sd = state["state_dict"]
-        norms = state.get("norms")
-    else:
-        sd = state
+    if _is_torchscript_archive(path):
+        mod = torch.jit.load(path, map_location="cpu")
+        sd = mod.state_dict()
         norms = None
+    else:
+        state = torch.load(path, map_location="cpu", weights_only=False)
+        if isinstance(state, dict) and "state_dict" in state:
+            sd = state["state_dict"]
+            norms = state.get("norms")
+        else:
+            sd = state
+            norms = None
     # strip DDP 'module.' prefixes (reference train.py:131-138)
     sd = {
         (k[len("module."):] if k.startswith("module.") else k): v

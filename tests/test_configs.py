@@ -91,3 +91,22 @@ def test_recipe_explicit_flag_wins():
                        "d.yaml", "v.zarr"])
     assert args.min_size == 42
     assert args.qlen == 7 and args.min_span == 8  # from the recipe chain
+
+def test_recipe_equals_form_and_abbreviation():
+    # argparse-legal forms "-infer-config=path" and unambiguous prefix
+    # abbreviations must apply the recipe too (two-pass parse), not
+    # silently run with built-in defaults
+    from empanada_tpu.cli.infer3d import parse_args
+
+    path = os.path.join(CONFIG_DIR, "median_inference_lucchi.yaml")
+    args = parse_args([f"-infer-config={path}", "d.yaml", "v.zarr"])
+    assert args.qlen == 7 and args.min_span == 8
+    args = parse_args(["-infer-conf", path, "d.yaml", "v.zarr"])
+    assert args.qlen == 7
+
+
+def test_recipe_flag_missing_value_errors():
+    from empanada_tpu.cli.infer3d import parse_args
+
+    with pytest.raises(SystemExit):  # argparse error, not IndexError
+        parse_args(["d.yaml", "v.zarr", "-infer-config"])

@@ -233,3 +233,18 @@ class TestSmallTableLookup:
             lambda t, i: _small_table_lookup_int(t, i, n))(table, idx))
         want = np.asarray(table)[np.asarray(idx)]
         assert np.array_equal(got, want)
+
+
+def test_group_pixels_no_valid_centers_returns_zero():
+    # contract: ids are 0 only/always when no valid centers survive NMS
+    # (reference get_instance_segmentation returns zeros on empty ctr);
+    # covers the fused slab, small-k, and scan paths
+    from empanada_tpu.ops.postprocess import group_pixels
+
+    offsets = jnp.asarray(np.random.default_rng(0).normal(
+        size=(16, 16, 2)).astype(np.float32))
+    for k, chunk in [(64, 64), (8, 64), (64, 2)]:
+        centers = jnp.zeros((k, 2), jnp.int32)
+        valid = jnp.zeros((k,), bool)
+        ids = np.asarray(group_pixels(centers, valid, offsets, chunk=chunk))
+        assert (ids == 0).all(), (k, chunk)
