@@ -115,7 +115,7 @@ def run_inference3d(
     downsample_f=1, one_view=False, fine_boundaries=False,
     padding_factor=128, max_centers=256, save_panoptic_dir=None,
     progress=True, block_size=None, mesh=None, norms=None, tfs=None,
-    resident=False,
+    resident=False, stats=None, max_runs=None,
 ):
     """Full 3D inference; returns {class_id: consensus InstanceTracker}.
 
@@ -173,6 +173,7 @@ def run_inference3d(
         padding_factor=padding_factor,
         coarse_boundaries=not fine_boundaries,
         max_centers=max_centers,
+        max_runs=max_runs,
         stuff_area=0,
         mesh=mesh,
         device_norms=device_norms,
@@ -216,6 +217,15 @@ def run_inference3d(
 
         patterns.finish_axis(rle_stack, matchers, trackers[axis_name], n,
                              min_size, min_span)
+        if stats is not None:
+            stats.setdefault("axes", {})[axis_name] = {
+                "slices": n,
+                "seconds": round(time.time() - t_axis, 3),
+                "overflow_slices": fm.overflow_count,
+                "instances_matched": sum(
+                    len(s[c]) for s in rle_stack for c in thing_list
+                    if c in s),
+            }
         if progress:
             print(f"[{axis_name}] {n} slices in {time.time() - t_axis:.1f}s")
         if pan_stack is not None:
@@ -224,11 +234,17 @@ def run_inference3d(
                                  f"panoptic_{axis_name}.npy"),
                     np.stack(pan_stack))
 
-    return patterns.build_consensus(
+    t_cons = time.time()
+    consensus = patterns.build_consensus(
         trackers, labels, thing_list, mode=mode,
         pixel_vote_thr=pixel_vote_thr_count,
         cluster_iou_thr=cluster_iou_thr, one_view=one_view,
         min_size=min_size, min_span=min_span)
+    if stats is not None:
+        stats["consensus_seconds"] = round(time.time() - t_cons, 3)
+        stats["instances_3d"] = {
+            c: len(t.instances) for c, t in consensus.items()}
+    return consensus
 
 
 def main(argv=None):

@@ -161,8 +161,16 @@ def create_zarr(path, shape, chunks=None, dtype=np.uint32,
     dtype = np.dtype(dtype)
     if chunks is None:
         chunks = tuple(min(s, 256) for s in shape)
-    if os.path.exists(os.path.join(path, ".zarray")) and not overwrite:
-        raise FileExistsError(path)
+    if os.path.exists(os.path.join(path, ".zarray")):
+        if not overwrite:
+            raise FileExistsError(path)
+        # stale chunk files from a previous layout (different chunks/
+        # dtype/compressor) would corrupt reads of the new array —
+        # overwrite means a fresh store, so clear them all
+        for name in os.listdir(path):
+            fp = os.path.join(path, name)
+            if os.path.isfile(fp):
+                os.remove(fp)
     os.makedirs(path, exist_ok=True)
     if compressor is None:
         comp = None

@@ -577,7 +577,13 @@ class FusedStackEngine:
             self._num_classes = max(
                 int(getattr(self.module, "num_classes", 1)),
                 (max(self.thing_list) + 1) if self.thing_list else 1, 2)
-        max_runs = self.max_runs or max(4096, 8 * H)
+        # auto run budget scales with the instance budget: at the
+        # product's hundreds of instances/slice (label_divisor 20000,
+        # reference pdl_inference3d.py:28-31) each instance contributes
+        # ~one run per row it spans, so 8*H alone systematically
+        # overflows and every slice falls back to a dense-map pull
+        max_runs = self.max_runs or max(
+            4096, 8 * H, 24 * self.max_centers)
 
         block_starts = list(range(0, n + mid, B))
         n_padded = block_starts[-1] + B
@@ -761,7 +767,13 @@ class FusedStackEngine:
         # (docs/performance.md), so the packed budget is tight: 8 runs per
         # output row covers realistic EM content; an overflowing slice
         # falls back to pulling its dense pan plane (1 well-laid-out MB)
-        max_runs = self.max_runs or max(4096, 8 * H)
+        # auto run budget scales with the instance budget: at the
+        # product's hundreds of instances/slice (label_divisor 20000,
+        # reference pdl_inference3d.py:28-31) each instance contributes
+        # ~one run per row it spans, so 8*H alone systematically
+        # overflows and every slice falls back to a dense-map pull
+        max_runs = self.max_runs or max(
+            4096, 8 * H, 24 * self.max_centers)
 
         fn_key = (render_steps, upsampling, tuple(ex0["size"]), max_runs,
                   (ph, pw), img0.dtype.str, B)

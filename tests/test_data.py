@@ -210,6 +210,18 @@ class TestZarrStore:
         vol[0:2, 0:5, 0:5] = 3
         np.testing.assert_array_equal(np.asarray(open_zarr(p)), vol)
 
+    def test_overwrite_clears_stale_chunks(self, tmp_path):
+        # re-creating with overwrite=True over an old store with a
+        # DIFFERENT chunk layout must not read back stale chunk files
+        p = str(tmp_path / "o.zarr")
+        z = create_zarr(p, (8, 32, 32), chunks=(8, 32, 32))
+        z[:, :, :] = 7
+        z2 = create_zarr(p, (8, 32, 32), chunks=(4, 32, 32),
+                         overwrite=True)
+        np.testing.assert_array_equal(np.asarray(z2), 0)
+        z2[1:3, :, :] = 5
+        assert (np.asarray(open_zarr(p))[1:3] == 5).all()
+
     def test_chunked_fill_on_zarr(self, tmp_path):
         shape = (6, 10, 10)
         z = create_zarr(str(tmp_path / "f.zarr"), shape, chunks=(2, 3, 7),

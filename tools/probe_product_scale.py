@@ -1,0 +1,98 @@
+"""Product-scale orthoplane probe (round-3 VERDICT missing #1).
+
+Runs the FULL product flow — 3-axis fused inference, forward/backward
+matching, tracking, cross-axis consensus, chunked zarr fill — at the
+reference's operating point: >=512^3 volume, label_divisor 20000,
+hundreds of instances per slice, thousands of 3D instances (reference
+scripts/pdl_inference3d.py:28-31 defaults; consensus.py:348-469 and
+zarr_utils.py:88-175 are built for this regime).
+
+Run: python tools/probe_product_scale.py [side] [n_instances]
+     (defaults 512 2400; try 1024 10000 for the 1k^3 point)
+
+Prints one JSON line with phase breakdown + host RSS. The synthetic
+volume is cached under /tmp (generation is ~2 min at 512^3 on this
+host's single core).
+"""
+
+import json
+import os
+import resource
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+
+
+def get_volume(side, n_instances, seed=13):
+    cache = f"/tmp/empanada_bench_vol_{side}_{n_instances}_{seed}.npz"
+    if os.path.exists(cache):
+        with np.load(cache) as z:
+            return z["vol"], z["gt"]
+    from empanada_tpu.data.synthetic import synthetic_em_volume
+
+    t0 = time.perf_counter()
+    vol, gt = synthetic_em_volume((side, side, side),
+                                  n_instances=n_instances, seed=seed)
+    print(f"generated {side}^3 x{n_instances} in "
+          f"{time.perf_counter() - t0:.0f}s", file=sys.stderr)
+    np.savez(cache, vol=vol, gt=gt)
+    return vol, gt
+
+
+def main():
+    side = int(sys.argv[1]) if len(sys.argv) > 1 else 512
+    n_instances = int(sys.argv[2]) if len(sys.argv) > 2 else 2400
+
+    from empanada_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from bench import build_model
+    from empanada_tpu.cli.infer3d import run_inference3d
+    from empanada_tpu.data.zarr_store import create_zarr
+    from empanada_tpu.inference import patterns
+
+    model, variables, _cpu = build_model()
+    vol, gt = get_volume(side, n_instances)
+    per = [len(np.unique(gt[z][gt[z] > 0]))
+           for z in range(0, side, max(side // 16, 1))]
+    gt_density = float(np.mean(per))
+
+    kw = dict(
+        labels=[1], thing_list=[1], mode="orthoplane", qlen=3,
+        label_divisor=20000, seg_thr=0.5, nms_thr=0.1, nms_kernel=3,
+        iou_thr=0.25, ioa_thr=0.25, pixel_vote_thr=2, cluster_iou_thr=0.75,
+        min_size=500, min_span=4, padding_factor=128, max_centers=512,
+        norms={"mean": 0.57, "std": 0.12}, progress=True)
+
+    stats = {}
+    t0 = time.perf_counter()
+    consensus = run_inference3d((model, variables), vol, stats=stats, **kw)
+    t_infer = time.perf_counter() - t0
+
+    out = create_zarr(f"/tmp/probe_product_{side}.zarr", vol.shape,
+                      dtype=np.uint32, overwrite=True)
+    t0 = time.perf_counter()
+    patterns.fill_volume(out, consensus[1].instances, processes=4)
+    t_fill = time.perf_counter() - t0
+
+    n_slices = sum(vol.shape)
+    rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+    print(json.dumps({
+        "volume": list(vol.shape),
+        "gt_instances_per_slice": round(gt_density, 1),
+        "slices_per_sec_end_to_end": round(
+            n_slices / (t_infer + t_fill), 2),
+        "inference_consensus_seconds": round(t_infer, 2),
+        "fill_seconds": round(t_fill, 2),
+        "stats": stats,
+        "instances_3d": len(consensus[1].instances),
+        "host_rss_gb": round(rss_gb, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()
