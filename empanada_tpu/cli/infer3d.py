@@ -16,9 +16,18 @@ from __future__ import annotations
 import argparse
 import math
 import os
+import threading
 import time
 
 import numpy as np
+
+
+def _run_noexcept(fn, errors):
+    """Thread target: run fn, append any exception to errors."""
+    try:
+        fn()
+    except BaseException as e:  # re-raised on the main thread after join
+        errors.append(e)
 
 __all__ = ["main", "run_inference3d"]
 
@@ -179,6 +188,8 @@ def run_inference3d(
         device_norms=device_norms,
     )
 
+    finish_threads = []
+    finish_errors = []
     for axis_name, axis in axes.items():
         t_axis = time.time()
         matchers = patterns.create_matchers(
@@ -215,24 +226,44 @@ def run_inference3d(
         rle_stack = fm.finish()
         assert len(rle_stack) == n, (len(rle_stack), n)
 
-        patterns.finish_axis(rle_stack, matchers, trackers[axis_name], n,
-                             min_size, min_span)
-        if stats is not None:
-            stats.setdefault("axes", {})[axis_name] = {
-                "slices": n,
-                "seconds": round(time.time() - t_axis, 3),
-                "overflow_slices": fm.overflow_count,
-                "instances_matched": sum(
-                    len(s[c]) for s in rle_stack for c in thing_list
-                    if c in s),
-            }
+        # backward matching + tracking + filters are pure host work on
+        # this axis's rle_stack: run them on a background thread so they
+        # overlap the NEXT axis's device pass (the reference used a
+        # separate process per axis for its matcher work,
+        # patterns.py:68-99; at product instance density this tail is
+        # several ms/slice and otherwise serializes between axes)
+        def _finish(rle_stack=rle_stack, matchers=matchers,
+                    axis_trackers=trackers[axis_name], n=n,
+                    axis_name=axis_name, fm=fm, t_axis=t_axis):
+            patterns.finish_axis(rle_stack, matchers, axis_trackers, n,
+                                 min_size, min_span)
+            if stats is not None:
+                stats.setdefault("axes", {})[axis_name] = {
+                    "slices": n,
+                    "seconds": round(time.time() - t_axis, 3),
+                    "overflow_slices": fm.overflow_count,
+                    "instances_matched": sum(
+                        len(s[c]) for s in rle_stack for c in thing_list
+                        if c in s),
+                }
+
+        th = threading.Thread(target=_run_noexcept,
+                              args=(_finish, finish_errors), daemon=True)
+        th.start()
+        finish_threads.append(th)
         if progress:
-            print(f"[{axis_name}] {n} slices in {time.time() - t_axis:.1f}s")
+            print(f"[{axis_name}] {n} slices forward in "
+                  f"{time.time() - t_axis:.1f}s")
         if pan_stack is not None:
             os.makedirs(save_panoptic_dir, exist_ok=True)
             np.save(os.path.join(save_panoptic_dir,
                                  f"panoptic_{axis_name}.npy"),
                     np.stack(pan_stack))
+
+    for th in finish_threads:
+        th.join()
+    if finish_errors:
+        raise finish_errors[0]
 
     t_cons = time.time()
     consensus = patterns.build_consensus(

@@ -105,6 +105,40 @@ void etpu_pair_intersections(const int64_t* ranges_a, const int64_t* offs_a,
 }
 
 // ---------------------------------------------------------------------------
+// Union of two CANONICAL (sorted, disjoint) range lists into one canonical
+// list, coalescing overlapping AND touching ranges (same output as the
+// coverage sweep at thr=1). out must hold na+nb ranges. Returns the output
+// count. The matcher's false-split healing merges instance RLEs dozens of
+// times per slice (inference/matcher.py merge_attrs); a direct two-pointer
+// merge replaces the generic sort+sweep chain there.
+// ---------------------------------------------------------------------------
+int64_t etpu_rle_union(const int64_t* a, int64_t na,
+                       const int64_t* b, int64_t nb, int64_t* out) {
+  int64_t i = 0, j = 0, n_out = 0;
+  int64_t cur_s = 0, cur_e = -1;  // empty current range
+  while (i < na || j < nb) {
+    int64_t s, e;
+    if (j >= nb || (i < na && a[2 * i] <= b[2 * j])) {
+      s = a[2 * i]; e = a[2 * i + 1]; ++i;
+    } else {
+      s = b[2 * j]; e = b[2 * j + 1]; ++j;
+    }
+    if (cur_e < cur_s) {  // first range
+      cur_s = s; cur_e = e;
+    } else if (s <= cur_e) {  // overlap or touch: extend
+      if (e > cur_e) cur_e = e;
+    } else {
+      out[2 * n_out] = cur_s; out[2 * n_out + 1] = cur_e; ++n_out;
+      cur_s = s; cur_e = e;
+    }
+  }
+  if (cur_e >= cur_s) {
+    out[2 * n_out] = cur_s; out[2 * n_out + 1] = cur_e; ++n_out;
+  }
+  return n_out;
+}
+
+// ---------------------------------------------------------------------------
 // Sparse pairwise box overlap: emit all (ia, ib) pairs of half-open
 // N-d boxes with positive intersection volume, plus that volume.
 //

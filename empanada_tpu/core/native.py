@@ -96,6 +96,12 @@ def get_lib():
             pass  # stale .so; callers fall back
 
         try:
+            lib.etpu_rle_union.restype = i64
+            lib.etpu_rle_union.argtypes = [p64, i64, p64, i64, p64]
+        except AttributeError:
+            pass  # stale .so; callers fall back
+
+        try:
             lib.etpu_box_overlap_pairs.restype = i64
             lib.etpu_box_overlap_pairs.argtypes = [p64, i64, p64, i64,
                                                    i64, p64, p64, i64]
@@ -163,6 +169,20 @@ def pair_intersections(ranges_a_cat, offs_a, ranges_b_cat, offs_b, pairs):
     lib.etpu_pair_intersections(ranges_a_cat, offs_a, ranges_b_cat, offs_b,
                                 pairs, len(pairs), out)
     return out
+
+
+def rle_union(ranges_a, ranges_b):
+    """Union of two CANONICAL (sorted, disjoint) (n, 2) range lists,
+    coalescing overlap and touch — identical output to
+    join_ranges([ranges_a, ranges_b]). Returns (m, 2) int64 or None."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "etpu_rle_union"):
+        return None
+    a = _c64(ranges_a)
+    b = _c64(ranges_b)
+    out = np.empty((len(a) + len(b), 2), dtype=np.int64)
+    n = lib.etpu_rle_union(a, len(a), b, len(b), out)
+    return out[:n].copy()
 
 
 def box_overlap_pairs(boxes_a, boxes_b=None):

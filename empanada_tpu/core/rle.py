@@ -181,11 +181,28 @@ def rle_ioa(starts_a, runs_a, starts_b, runs_b, return_intersection=False):
     return ioa
 
 
+def _is_sorted_disjoint(ranges):
+    return len(ranges) < 2 or bool(
+        np.all(ranges[1:, 0] >= ranges[:-1, 1]))
+
+
 def merge_rles(starts_a, runs_a, starts_b=None, runs_b=None):
     """Union of one or two RLEs into a canonical disjoint sorted RLE."""
-    ranges = [_as_ranges(starts_a, runs_a)]
+    ra = _as_ranges(starts_a, runs_a)
     if starts_b is not None and runs_b is not None:
-        ranges.append(_as_ranges(starts_b, runs_b))
+        rb = _as_ranges(starts_b, runs_b)
+        if _is_sorted_disjoint(ra) and _is_sorted_disjoint(rb):
+            # hot path (matcher false-split healing): both inputs are
+            # already canonical — one native two-pointer merge instead
+            # of the generic concat+sort+coverage-sweep chain
+            from empanada_tpu.core import native
+
+            out = native.rle_union(ra, rb)
+            if out is not None:
+                return out[:, 0], out[:, 1] - out[:, 0]
+        ranges = [ra, rb]
+    else:
+        ranges = [ra]
     joined = ranges_to_rle(join_ranges(ranges))
     return joined[:, 0], joined[:, 1]
 

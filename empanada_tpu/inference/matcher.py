@@ -20,14 +20,19 @@ __all__ = ["rle_matcher", "RLEMatcher", "merge_attrs", "fast_matcher"]
 
 def merge_attrs(rle_attr1, rle_attr2):
     """Merge two instance attr dicts (enclosing box, union RLE)."""
-    starts, runs = merge_rles(
-        rle_attr1["starts"], rle_attr1["runs"],
-        rle_attr2["starts"], rle_attr2["runs"],
-    )
+    c1 = rle_attr1.get("_canon")
+    s1, r1 = (c1[0], c1[1]) if c1 else (rle_attr1["starts"],
+                                        rle_attr1["runs"])
+    c2 = rle_attr2.get("_canon")
+    s2, r2 = (c2[0], c2[1]) if c2 else (rle_attr2["starts"],
+                                        rle_attr2["runs"])
+    starts, runs = merge_rles(s1, r1, s2, r2)
     return {
         "box": merge_boxes(rle_attr1["box"], rle_attr2["box"]),
         "starts": starts,
         "runs": runs,
+        # merge_rles output is canonical by construction
+        "_canon": (starts, runs, int(np.sum(runs))),
     }
 
 
@@ -38,10 +43,10 @@ def rle_matcher(target_instance_rles, match_instance_rles, iou_thr=0.5,
     Returns (matched_labels (target, match), all_labels, matched_ious
     [, iou_matrix][, ioa_matrix]) with the reference's exact conventions.
     """
-    target_labels, target_boxes, target_starts, target_runs = \
-        unpack_rle_attrs(target_instance_rles)
-    match_labels, match_boxes, match_starts, match_runs = \
-        unpack_rle_attrs(match_instance_rles)
+    target_labels, target_boxes, target_starts, target_runs, area_t = \
+        unpack_rle_attrs(target_instance_rles, return_areas=True)
+    match_labels, match_boxes, match_starts, match_runs, area_m = \
+        unpack_rle_attrs(match_instance_rles, return_areas=True)
 
     if len(target_labels) == 0 or len(match_labels) == 0:
         empty = np.array([])
@@ -62,10 +67,6 @@ def rle_matcher(target_instance_rles, match_instance_rles, iou_thr=0.5,
         inter = rle_pairwise_intersections(
             target_starts, target_runs, match_starts, match_runs,
             rows, cols).astype(np.float64)
-        area_t = np.array([int(np.sum(r)) for r in target_runs],
-                          dtype=np.float64)
-        area_m = np.array([int(np.sum(r)) for r in match_runs],
-                          dtype=np.float64)
         union = area_t[rows] + area_m[cols] - inter
         iou_matrix[rows, cols] = np.where(union > 0, inter / union, 0.0)
         if return_ioa:

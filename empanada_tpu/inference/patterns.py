@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import queue
 import threading
+from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 
@@ -106,8 +107,13 @@ class ForwardMatcher:
         # dense pan-map pull (bench reports this: each costs a full-plane
         # D2H instead of O(#runs) bytes)
         self.overflow_count = 0
+        self._ovf_lock = threading.Lock()
         self._queue = queue.Queue(maxsize=queue_size)
         self._exc = None
+        # one decode worker: block D2H + run decode happens here while
+        # the match thread does the (inherently serial) forward matching
+        # of earlier slices — a 2-stage host pipeline
+        self._decode_pool = ThreadPoolExecutor(max_workers=1)
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
@@ -124,17 +130,24 @@ class ForwardMatcher:
                     np.asarray(values[:n]),
                     shape, self.labels, self.label_divisor, self.thing_list)
             item = pan  # run budget overflow: fall back to the dense map
-            self.overflow_count += 1
+            with self._ovf_lock:
+                self.overflow_count += 1
         pan_seg = np.asarray(item).squeeze()
         return pan_seg_to_rle_seg(
             pan_seg, self.labels, self.label_divisor, self.thing_list)
 
-    def _decode_block(self, z_indices, pan_block, packed):
+    def _decode_block_to_segs(self, z_indices, pan_block, packed):
+        """D2H + run decode for one block -> list of (unmatched) rle_segs.
+
+        Pure per-slice work with no matcher state: runs on the decode
+        executor so it overlaps the sequential matching of earlier
+        slices (forward matching is inherently serial; decoding is not)."""
         arr = np.asarray(packed)  # ONE D2H for the whole block
         if arr.ndim == 1:  # flat transfer (fused.py flat_io)
             arr = arr.reshape(len(z_indices), -1, 3)
         shape = tuple(pan_block.shape[-2:])
         max_runs = arr.shape[1] - 1
+        segs = []
         for j, z in enumerate(z_indices):
             if z is None:
                 continue
@@ -145,12 +158,13 @@ class ForwardMatcher:
                     arr[j, 1:n + 1, 2], shape, self.labels,
                     self.label_divisor, self.thing_list)
             else:  # run budget overflow: pull the dense map
-                self.overflow_count += 1
+                with self._ovf_lock:
+                    self.overflow_count += 1
                 rle_seg = pan_seg_to_rle_seg(
                     np.asarray(pan_block[j]), self.labels,
                     self.label_divisor, self.thing_list)
-            rle_seg = apply_matchers(rle_seg, self.matchers)
-            self.rle_stack.append(rle_seg)
+            segs.append(rle_seg)
+        return segs
 
     def _run(self):
         while True:
@@ -158,9 +172,12 @@ class ForwardMatcher:
             if item is None:
                 break
             try:
-                if isinstance(item, tuple) and len(item) == 4 \
-                        and item[0] == "block":
-                    self._decode_block(item[1], item[2], item[3])
+                if isinstance(item, tuple) and len(item) == 2 \
+                        and item[0] == "decoded":
+                    segs = item[1].result()  # decode-executor future
+                    for rle_seg in segs:
+                        rle_seg = apply_matchers(rle_seg, self.matchers)
+                        self.rle_stack.append(rle_seg)
                     continue
                 rle_seg = self._to_rle_seg(item)
                 rle_seg = apply_matchers(rle_seg, self.matchers)
@@ -187,15 +204,19 @@ class ForwardMatcher:
 
     def put_block(self, z_indices, pan_block, packed):
         """Enqueue a whole fused-engine block: `packed` is the
-        (B, 1+max_runs, 3) int32 run buffer; the worker moves it
+        (B, 1+max_runs, 3) int32 run buffer; the decode worker moves it
         device->host with ONE transfer (per-op D2H latency dominates on
-        tunneled devices) and decodes each slice's runs from it."""
+        tunneled devices) and decodes each slice's runs from it, while
+        the match thread forward-matches previously decoded slices."""
         self._check_worker()
-        self._queue.put(("block", z_indices, pan_block, packed))
+        fut = self._decode_pool.submit(
+            self._decode_block_to_segs, z_indices, pan_block, packed)
+        self._queue.put(("decoded", fut))
 
     def finish(self):
         self._queue.put(None)
         self._thread.join()
+        self._decode_pool.shutdown(wait=True)
         if self._exc is not None:
             raise self._exc
         return self.rle_stack

@@ -63,7 +63,11 @@ def runs_to_rle_seg(starts, ends, values, shape, labels, label_divisor,
 
         props = region_props_from_runs(s, e, run_labels, (h, w))
         rle_seg[label] = {
-            lab: {"box": p["box"], "starts": p["starts"], "runs": p["runs"]}
+            lab: {"box": p["box"], "starts": p["starts"],
+                  "runs": p["runs"],
+                  # region props emit canonical RLEs with known areas:
+                  # pre-seed the matcher's unpack memo (unpack_rle_attrs)
+                  "_canon": (p["starts"], p["runs"], int(p["area"]))}
             for lab, p in props.items()
         }
     return rle_seg
@@ -88,21 +92,34 @@ def rle_seg_to_pan_seg(rle_seg, shape):
     return pan.reshape(shape)
 
 
-def unpack_rle_attrs(instance_rle_seg):
-    """Dict of instances -> (labels, boxes, starts list, runs list).
+def unpack_rle_attrs(instance_rle_seg, return_areas=False):
+    """Dict of instances -> (labels, boxes, starts list, runs list
+    [, areas float64]).
 
     Canonicalizes each RLE on the way in: JSONs written by the reference
     ecosystem (its tracker.finish() emits unsorted runs) must not
-    silently break sorted-merge IoU math downstream."""
-    labels, boxes, starts, runs = [], [], [], []
+    silently break sorted-merge IoU math downstream. The canonical form
+    (and area) is memoized on the attrs dict under the private ``_canon``
+    key — the stateful matcher re-unpacks the same target instances every
+    slice, and at product density (100+ instances/slice) the repeated
+    canonicality checks and area sums were a top-3 host cost."""
+    labels, boxes, starts, runs, areas = [], [], [], [], []
     for label, attrs in instance_rle_seg.items():
         labels.append(int(label))
         boxes.append(attrs["box"])
-        if "rle" in attrs:
-            s, r = string_to_rle(attrs["rle"])
-        else:
-            s, r = attrs["starts"], attrs["runs"]
-        s, r = canonicalize_rle(s, r)
-        starts.append(s)
-        runs.append(r)
-    return np.array(labels), np.array(boxes), starts, runs
+        cached = attrs.get("_canon")
+        if cached is None:
+            if "rle" in attrs:
+                s, r = string_to_rle(attrs["rle"])
+            else:
+                s, r = attrs["starts"], attrs["runs"]
+            s, r = canonicalize_rle(s, r)
+            cached = (s, r, int(np.sum(r)))
+            attrs["_canon"] = cached
+        starts.append(cached[0])
+        runs.append(cached[1])
+        areas.append(cached[2])
+    out = (np.array(labels), np.array(boxes), starts, runs)
+    if return_areas:
+        out = out + (np.array(areas, dtype=np.float64),)
+    return out
