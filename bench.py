@@ -1,38 +1,45 @@
-"""Headline benchmark: MitoNet 3D inference throughput (slices/sec).
+"""Headline benchmark: MitoNet orthoplane 3D inference (slices/sec).
 
-End-to-end production 3D inference (reference pdl_inference3d.py, SURVEY
-§3.2) on the fused blocked engine (inference/fused.py): batched MitoNet
-(PanopticBiFPNPR on regnety_6p4gf, bf16) forward + z-median + full
-panoptic postprocess + on-device run extraction — ONE device dispatch per
-block of slices — with RLE conversion + Hungarian matching on an
-overlapped host thread.
+The headline (``value``) is the driver's stated metric — "MitoNet
+slices/sec/chip (orthoplane 3D)", BASELINE.json — measured end-to-end:
+3-axis fused inference (inference/fused.py: batched PanopticBiFPNPR on
+regnety_6p4gf bf16 forward + z-median + full panoptic postprocess +
+on-device run extraction, ONE dispatch per block), forward/backward RLE
+matching on overlapped host threads, cross-axis consensus, and chunked
+zarr fill — at the product's label_divisor 20000 (reference
+pdl_inference3d.py:28-31, 91-240). Round 3 showed this figure is stable
+across tunnel weather (112-122 slices/s every shift) while the
+single-axis 512² stream number swings 2x with per-op D2H latency; the
+stream number remains in the breakdown.
 
-Round 3: the benchmark volume carries REALISTIC content — tens of
-instances per slice (synthetic EM ellipsoids segmented by ridge-fitted
-head classifiers on the random backbone, tools/fit_bench_heads.py) — so
-run extraction, packing, matching and consensus do real work. The
-headline is the xy-stack pass on that content; the breakdown adds the
-full 3-axis orthoplane + consensus + zarr-fill figure, engine-variant
-A/B (stream / resident / int8), the run-budget overflow count, and the
-old content-free number as the device ceiling.
+The benchmark volume carries REALISTIC content — tens of instances per
+slice (synthetic EM ellipsoids segmented by ridge-fitted head
+classifiers on the random backbone, tools/fit_bench_heads.py) — so run
+extraction, packing, matching and consensus do real work. The breakdown
+adds the single-axis stack pass on 512² content, engine-variant A/B
+(stream / resident / int8), run-budget overflow counts, and the
+content-free device ceiling. ``--large`` additionally runs the
+512^3-at-product-density flow (tools/probe_product_scale.py regime).
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "slices/s",
    "vs_baseline": N, ...}
 
 vs_baseline (PRIMARY, measured): ratio to the reference pipeline's
-MEASURED 0.556 slices/s on this host's CPU (tools/measure_baseline.py,
-2026-08-16: QuantizablePanopticBiFPNPR fp32 + reference engine
-postprocess, 512², median qlen 3, engine-only — excludes the
-reference's host matcher cost, i.e. conservative in the reference's
-favor). The breakdown also reports vs_est_gpu, an ESTIMATED ratio to a
-V100-class GPU via a documented 18x factor (BASELINE.md row 2) — an
-extrapolation, labeled as such.
+MEASURED 0.5636 slices/s on this host's CPU (tools/measure_baseline.py
+--realistic, 2026-08-17: QuantizablePanopticBiFPNPR fp32 + reference
+engine postprocess on the SAME bench weights and content density, 512²,
+median qlen 3, engine-only — excludes the reference's host matcher and
+consensus cost, i.e. conservative in the reference's favor). The
+breakdown also reports vs_est_gpu, an ESTIMATED ratio to a V100-class
+GPU via a documented 18x factor (BASELINE.md row 2) — an extrapolation,
+labeled as such.
 """
 
 import contextlib
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -41,15 +48,19 @@ _nullcontext = contextlib.nullcontext
 
 # Both measured with tools/measure_baseline.py on this host, 1 torch
 # thread. "Realistic" runs the SAME ridge-fitted bench weights
-# (inverse-converted to torch) on the same synthetic EM content as this
-# bench (62 inst/slice through the reference's full postprocess);
+# (inverse-converted to torch) on the first 16 slices of the SAME
+# synthetic EM bench volume (27.1 inst/slice through the reference's
+# full postprocess, within 11% of this bench's matched count);
 # "content-free" is the zero-instance ceiling mode.
-REFERENCE_CPU_SLICES_PER_SEC = 0.4853       # --realistic, 2026-08-17
+REFERENCE_CPU_SLICES_PER_SEC = 0.5636       # --realistic, 2026-08-17
 REFERENCE_CPU_SLICES_PER_SEC_FREE = 0.556   # content-free
 CPU_CORE_TO_GPU_FACTOR = 18.0          # documented estimate, BASELINE.md
 N_SLICES = 128
 H = W = 512
 LABEL_DIVISOR = 1000
+# the product's label divisor for the 3D orthoplane headline
+# (reference scripts/pdl_inference3d.py:28-31)
+LABEL_DIVISOR_3D = 20000
 
 
 def build_model():
@@ -201,51 +212,64 @@ def main():
     best_mode = min(("stream", "resident"),
                     key=lambda m: min(times[m]))
     best = min(times[best_mode])
-    slices_per_sec = N_SLICES / best
+    stream_slices_per_sec = N_SLICES / best
 
     breakdown = {
-        "mode": best_mode,
-        "instances_per_slice": round(
-            stats[best_mode]["instances_matched"] / N_SLICES, 1),
-        "overflow_slices": stats[best_mode]["overflow_slices"],
+        "stack_512": {
+            "slices_per_sec": round(stream_slices_per_sec, 2),
+            "mode": best_mode,
+            "instances_per_slice": round(
+                stats[best_mode]["instances_matched"] / N_SLICES, 1),
+            "overflow_slices": stats[best_mode]["overflow_slices"],
+        },
         "per_mode_slices_per_sec": {
             m: round(N_SLICES / min(ts), 2) for m, ts in times.items()},
-        "vs_est_gpu": round(
-            slices_per_sec
-            / (REFERENCE_CPU_SLICES_PER_SEC_FREE
-               * CPU_CORE_TO_GPU_FACTOR), 2),
     }
 
-    # full orthoplane product flow on a 128^3-class volume: 3 axes +
-    # backward matching + consensus + chunked zarr fill (reference
-    # pdl_inference3d.py:91-240)
+    # HEADLINE: full orthoplane product flow — 3 axes + backward matching
+    # + consensus at the product's label_divisor + chunked zarr fill
+    # (reference pdl_inference3d.py:91-240). Best of 2 timed passes.
     from empanada_tpu.cli.infer3d import run_inference3d
     from empanada_tpu.data.zarr_store import create_zarr
     from empanada_tpu.inference import patterns
 
-    ortho_vol, _ = synthetic_em_volume((128, 256, 256), n_instances=60,
+    ortho_vol, _ = synthetic_em_volume((128, 320, 320), n_instances=94,
                                        seed=11)
     ortho_kw = dict(
         labels=[1], thing_list=[1], mode="orthoplane", qlen=3,
-        label_divisor=LABEL_DIVISOR, seg_thr=0.5, nms_thr=0.1,
+        label_divisor=LABEL_DIVISOR_3D, seg_thr=0.5, nms_thr=0.1,
         nms_kernel=3, iou_thr=0.25, ioa_thr=0.25, pixel_vote_thr=2,
         cluster_iou_thr=0.75, min_size=200, min_span=2,
         padding_factor=128, max_centers=256, block_size=None,
         norms={"mean": 0.57, "std": 0.12}, progress=False)
     run_inference3d((model, variables), ortho_vol, **ortho_kw)  # warmup
-    t0 = time.perf_counter()
-    consensus = run_inference3d((model, variables), ortho_vol, **ortho_kw)
-    out = create_zarr("/tmp/bench_ortho_seg.zarr", ortho_vol.shape,
-                      dtype=np.uint32, overwrite=True)
-    patterns.fill_volume(out, consensus[1].instances, processes=4)
-    ortho_elapsed = time.perf_counter() - t0
     n_ortho_slices = sum(ortho_vol.shape)
+    ortho_best = float("inf")
+    for _ in range(2):
+        ortho_stats = {}
+        t0 = time.perf_counter()
+        consensus = run_inference3d((model, variables), ortho_vol,
+                                    stats=ortho_stats, **ortho_kw)
+        out = create_zarr("/tmp/bench_ortho_seg.zarr", ortho_vol.shape,
+                          dtype=np.uint32, overwrite=True)
+        patterns.fill_volume(out, consensus[1].instances, processes=4)
+        ortho_best = min(ortho_best, time.perf_counter() - t0)
+    ortho_slices_per_sec = n_ortho_slices / ortho_best
     breakdown["orthoplane"] = {
-        "slices_per_sec": round(n_ortho_slices / ortho_elapsed, 2),
         "volume": list(ortho_vol.shape),
+        "label_divisor": LABEL_DIVISOR_3D,
         "instances_3d": len(consensus[1].instances),
-        "total_seconds": round(ortho_elapsed, 2),
+        "instances_per_slice": round(
+            np.mean([a["instances_matched"] / max(a["slices"], 1)
+                     for a in ortho_stats["axes"].values()]), 1),
+        "overflow_slices": sum(
+            a["overflow_slices"] for a in ortho_stats["axes"].values()),
+        "consensus_seconds": ortho_stats["consensus_seconds"],
+        "total_seconds": round(ortho_best, 2),
     }
+    breakdown["vs_est_gpu"] = round(
+        ortho_slices_per_sec
+        / (REFERENCE_CPU_SLICES_PER_SEC_FREE * CPU_CORE_TO_GPU_FACTOR), 2)
 
     engine = engines[best_mode]
     cost = engine.block_cost_analysis()
@@ -257,18 +281,44 @@ def main():
         breakdown["dispatches"] = engine.last_dispatch_count
         breakdown["mfu_end_to_end_lower_bound"] = round(mfu, 5)
 
+    if "--large" in sys.argv:
+        # 512^3 at full product density (~170 inst/slice, thousands of
+        # 3D instances) — the tools/probe_product_scale.py regime inline
+        from tools.probe_product_scale import get_volume
+
+        big_vol, _gt = get_volume(512, 2400)
+        big_stats = {}
+        t0 = time.perf_counter()
+        big_consensus = run_inference3d(
+            (model, variables), big_vol, stats=big_stats,
+            **{**ortho_kw, "min_size": 500, "min_span": 4,
+               "max_centers": 512})
+        big_out = create_zarr("/tmp/bench_large_seg.zarr", big_vol.shape,
+                              dtype=np.uint32, overwrite=True)
+        patterns.fill_volume(big_out, big_consensus[1].instances,
+                             processes=4)
+        big_elapsed = time.perf_counter() - t0
+        breakdown["product_scale_512"] = {
+            "volume": list(big_vol.shape),
+            "slices_per_sec": round(sum(big_vol.shape) / big_elapsed, 2),
+            "instances_3d": len(big_consensus[1].instances),
+            "stats": big_stats,
+            "total_seconds": round(big_elapsed, 2),
+        }
+
     print(json.dumps({
-        "metric": "mitonet_slice_inference_throughput",
-        "value": round(slices_per_sec, 3),
+        "metric": "mitonet_orthoplane3d_inference_throughput",
+        "value": round(ortho_slices_per_sec, 3),
         "unit": "slices/s",
         # PRIMARY baseline: the measured reference-on-CPU number
         "vs_baseline": round(
-            slices_per_sec / REFERENCE_CPU_SLICES_PER_SEC, 1),
-        "baseline_note": "ratio to MEASURED reference CPU 0.4853 "
-                         "slices/s on the SAME realistic content "
-                         "(content-free reference ceiling 0.556); "
-                         "vs_est_gpu in breakdown is the documented "
-                         "18x extrapolation",
+            ortho_slices_per_sec / REFERENCE_CPU_SLICES_PER_SEC, 1),
+        "baseline_note": "orthoplane 3D end-to-end (3 axes + consensus "
+                         "+ zarr fill, label_divisor 20000) vs MEASURED "
+                         "reference CPU 0.5636 slices/s on the same "
+                         "weights/content density (content-free "
+                         "reference ceiling 0.556); vs_est_gpu in "
+                         "breakdown is the documented 18x extrapolation",
         "breakdown": breakdown,
     }))
 

@@ -95,12 +95,21 @@ def main():
         coarse_boundaries=True)
 
     if realistic:
-        # bench.py's exact content + normalization (device_norms there)
+        # bench.py's exact content + normalization (device_norms there).
+        # Generate the FULL bench volume and take the first n_slices:
+        # generating an (n_slices, H, W) volume with the same
+        # n_instances packs ~100 instances into few slices — 2x the
+        # bench's per-slice density — which was the round-3 "62 vs 30.5
+        # instances/slice" divergence (same weights, different content)
+        from bench import H as BH
+        from bench import N_SLICES as BN
+        from bench import W as BW
         from empanada_tpu.data.synthetic import synthetic_em_volume
 
-        vol_u8, _gt = synthetic_em_volume((n_slices, H, W),
+        assert (H, W) == (BH, BW)
+        vol_u8, _gt = synthetic_em_volume((BN, BH, BW),
                                           n_instances=100, seed=7)
-        vol = ((vol_u8.astype(np.float32) / 255.0 - 0.57)
+        vol = ((vol_u8[:n_slices].astype(np.float32) / 255.0 - 0.57)
                / 0.12)
     else:
         rng = np.random.default_rng(0)
