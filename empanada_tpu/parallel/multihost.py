@@ -37,7 +37,7 @@ def z_shard(n, rank, world):
 
 
 def local_rle_shard(engine, vol_view, start, end, *, labels, label_divisor,
-                    thing_list, upsampling=1):
+                    thing_list, upsampling=1, stats=None):
     """Run the fused engine over this process's extended z-shard and
     return [(global_z, unmatched rle_seg)] for global z in [start, end).
 
@@ -45,6 +45,11 @@ def local_rle_shard(engine, vol_view, start, end, *, labels, label_divisor,
     window sees the same neighbors as the single-process pass; local raw
     /median emission decisions then coincide with the global ones for
     every kept slice (engines.py:68-90 semantics).
+
+    ``stats`` (optional dict) receives this rank's device-op accounting:
+    ``dispatches`` (blocks launched) and ``d2h_bytes`` (packed run
+    buffers + dense overflow pulls) — both must scale ~1/world for the
+    composition to scale (tests/test_parallel.py pins this).
     """
     from empanada_tpu.inference.rle import pan_seg_to_rle_seg, runs_to_rle_seg
 
@@ -54,10 +59,14 @@ def local_rle_shard(engine, vol_view, start, end, *, labels, label_divisor,
     hi = min(n, end + mid)
     ext = vol_view[lo:hi]
 
+    dispatches = 0
+    d2h_bytes = 0
     out = []
     for z_indices, pan_block, packed in engine.infer_blocks_resident(
             ext, upsampling=upsampling):
         arr = np.asarray(packed).reshape(len(z_indices), -1, 3)
+        dispatches += 1
+        d2h_bytes += arr.nbytes
         max_runs = arr.shape[1] - 1
         shape = tuple(pan_block.shape[-2:])
         pan_host = None
@@ -76,9 +85,13 @@ def local_rle_shard(engine, vol_view, start, end, *, labels, label_divisor,
             else:  # run budget overflow: pull the dense map
                 if pan_host is None:
                     pan_host = np.asarray(pan_block)
+                    d2h_bytes += pan_host.nbytes
                 rle_seg = pan_seg_to_rle_seg(pan_host[j], labels,
                                              label_divisor, thing_list)
             out.append((z, rle_seg))
+    if stats is not None:
+        stats["dispatches"] = dispatches
+        stats["d2h_bytes"] = d2h_bytes
     return out
 
 

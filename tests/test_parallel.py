@@ -187,3 +187,71 @@ class TestSliceParallel:
         for i in range(D):
             assert np.array_equal(got[i], want[i]), \
                 (i, float((got[i] == want[i]).mean()))
+
+
+class TestMultihostScaling:
+    def test_zshard_dispatches_and_bytes_scale(self, small_model):
+        """Multi-process z-shard accounting (reference
+        inference3d_multigpu.py:276-379): simulate every rank of an
+        8-process world in one process and assert (a) exact shard
+        coverage, (b) per-rank device dispatches ~ total/world + halo
+        (op-count accounting — wall clock is meaningless on CPU),
+        (c) per-rank D2H bytes ~ total/world, (d) the bytes rank 0
+        gathers are O(#runs), not O(volume)."""
+        import pickle
+
+        from empanada_tpu.inference.fused import FusedStackEngine
+        from empanada_tpu.parallel.multihost import local_rle_shard, z_shard
+
+        model, variables = small_model
+        rng = np.random.default_rng(3)
+        D, H, W = 64, 32, 32
+        vol = rng.normal(0, 0.1, (D, H, W)).astype(np.float32)
+        zz, yy, xx = np.mgrid[:D, :H, :W]
+        vol[((zz - 32) ** 2 + (yy - 16) ** 2 + (xx - 16) ** 2) < 144] += 2
+
+        B = 4
+        kwargs = dict(thing_list=[1], label_divisor=100, stuff_area=0,
+                      median_kernel_size=3, padding_factor=16,
+                      max_centers=64, block_size=B)
+        engine = FusedStackEngine(model, variables, **kwargs)
+        mid = engine.mid
+
+        world = 8
+        per_rank = []
+        covered = []
+        gather_bytes = 0
+        for rank in range(world):
+            start, end = z_shard(D, rank, world)
+            stats = {}
+            local = local_rle_shard(
+                engine, vol, start, end, labels=[1], label_divisor=100,
+                thing_list=[1], stats=stats)
+            per_rank.append(stats)
+            covered.extend(z for z, _ in local)
+            gather_bytes += len(pickle.dumps(local))
+
+        # (a) exact coverage, no duplicates
+        assert sorted(covered) == list(range(D))
+
+        # (b) dispatches: each rank processes its shard + 2*mid halo in
+        # blocks of B -> at most ceil((D/world + 2*mid)/B) + 1 (median
+        # warm-up flush adds one partial block at the edges)
+        shard = -(-D // world)
+        per_rank_cap = -(-(shard + 2 * mid) // B) + 1
+        total_single = -(-(D + 2 * mid) // B) + 1
+        for stats in per_rank:
+            assert 1 <= stats["dispatches"] <= per_rank_cap, stats
+        # the whole world does at most world * halo extra blocks, far
+        # below world x the single-process count
+        assert sum(s["dispatches"] for s in per_rank) \
+            < total_single * world / 2
+
+        # (c) per-rank D2H bytes scale ~1/world (same cap structure)
+        bytes_cap = per_rank_cap / max(total_single - 1, 1)
+        total_bytes = sum(s["d2h_bytes"] for s in per_rank)
+        for stats in per_rank:
+            assert stats["d2h_bytes"] <= total_bytes * bytes_cap, stats
+
+        # (d) rank-0 gather moves O(#runs) pickled RLEs, not the volume
+        assert gather_bytes < vol.nbytes / 4, (gather_bytes, vol.nbytes)
