@@ -10,13 +10,19 @@ backbone is regnety_6p4gf (SE on).
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Sequence
 
 import numpy as np
 import jax.numpy as jnp
 from flax import linen as nn
 
-from empanada_tpu.models.blocks import ConvBNAct, Resample2d, SqueezeExcite
+from empanada_tpu.models.blocks import (
+    ConvBNAct,
+    Resample2d,
+    SpaceToDepthStem,
+    SqueezeExcite,
+)
 
 __all__ = [
     "RegNet", "RegNetConfig",
@@ -104,8 +110,19 @@ class RegNet(nn.Module):
         if self.output_stride == 16:
             strides[-1] = 1
 
-        features = [ConvBNAct(cfg.w_stem, 3, stride=2, dtype=self.dtype,
-                              name="stem")(x, train)]
+        # EMPANADA_S2D_STEM=1: compute the (identically-parameterized)
+        # stem as a space-to-depth conv — a 1-channel 3x3 conv uses
+        # 1/128 of the MXU's input lanes; the packed form feeds 16
+        # (blocks.SpaceToDepthStem). Same checkpoint tree either way.
+        s2d = os.environ.get("EMPANADA_S2D_STEM", "") not in ("", "0")
+        if s2d and x.shape[-1] == 1 and x.shape[1] % 4 == 0 \
+                and x.shape[2] % 4 == 0:
+            stem = SpaceToDepthStem(cfg.w_stem, dtype=self.dtype,
+                                    name="stem")(x, train)
+        else:
+            stem = ConvBNAct(cfg.w_stem, 3, stride=2, dtype=self.dtype,
+                             name="stem")(x, train)
+        features = [stem]
         out = features[0]
         for i in range(4):
             for j in range(cfg.depths[i]):

@@ -13,6 +13,8 @@ inference can run the cheap low-res path on TPU.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
@@ -72,7 +74,20 @@ def get_uncertain_point_coords_on_grid(uncertainty_map, num_points: int):
     n, h, w, _ = uncertainty_map.shape
     k = min(h * w, num_points)
     flat = uncertainty_map.reshape(n, h * w)
-    point_indices = jax.lax.top_k(flat, k)[1]
+    # EMPANADA_APPROX_TOPK: opt-in approximate top-k (unset/"0" = exact).
+    # On TPU lax.approx_max_k lowers to the chunked PartialReduce op
+    # instead of a full sort of H*W uncertainty scores; "1" uses the
+    # default 0.95 recall target, any float sets it. Selecting a ~95%
+    # overlapping set of near-most-uncertain points only changes WHICH
+    # boundary pixels get re-predicted, and every step re-evaluates
+    # uncertainty, so missed points are picked up next round.
+    mode = os.environ.get("EMPANADA_APPROX_TOPK", "")
+    if mode and mode != "0" and k < h * w:
+        recall = 0.95 if mode == "1" else float(mode)
+        point_indices = jax.lax.approx_max_k(
+            flat, k, recall_target=recall)[1]
+    else:
+        point_indices = jax.lax.top_k(flat, k)[1]
     xs = (point_indices % w).astype(jnp.float32)
     ys = (point_indices // w).astype(jnp.float32)
     coords = jnp.stack([
