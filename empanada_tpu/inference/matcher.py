@@ -15,23 +15,50 @@ from empanada_tpu.core.boxes import box_iou_pairs, merge_boxes
 from empanada_tpu.core.rle import merge_rles, rle_pairwise_intersections
 from empanada_tpu.inference.rle import unpack_rle_attrs
 
-__all__ = ["rle_matcher", "RLEMatcher", "merge_attrs", "fast_matcher"]
+__all__ = ["rle_matcher", "RLEMatcher", "merge_attrs", "merge_attrs_many",
+           "fast_matcher"]
 
 
 def merge_attrs(rle_attr1, rle_attr2):
     """Merge two instance attr dicts (enclosing box, union RLE)."""
-    c1 = rle_attr1.get("_canon")
-    s1, r1 = (c1[0], c1[1]) if c1 else (rle_attr1["starts"],
-                                        rle_attr1["runs"])
-    c2 = rle_attr2.get("_canon")
-    s2, r2 = (c2[0], c2[1]) if c2 else (rle_attr2["starts"],
-                                        rle_attr2["runs"])
-    starts, runs = merge_rles(s1, r1, s2, r2)
+    return merge_attrs_many([rle_attr1, rle_attr2])
+
+
+def _canon_sr(attrs):
+    c = attrs.get("_canon")
+    return (c[0], c[1]) if c else (attrs["starts"], attrs["runs"])
+
+
+def merge_attrs_many(attrs_list):
+    """Union of k instance attr dicts in ONE range join (the matcher's
+    false-split healing can route several instances into the same
+    target; pairwise chained merges re-swept the accumulated RLE each
+    time and paid a native-call crossing per pair)."""
+    if len(attrs_list) == 1:
+        return attrs_list[0]
+    if len(attrs_list) == 2:
+        s1, r1 = _canon_sr(attrs_list[0])
+        s2, r2 = _canon_sr(attrs_list[1])
+        starts, runs = merge_rles(s1, r1, s2, r2)
+    else:
+        from empanada_tpu.core.ranges import join_ranges, ranges_to_rle
+
+        ranges = []
+        for attrs in attrs_list:
+            s, r = _canon_sr(attrs)
+            s = np.asarray(s, dtype=np.int64)
+            ranges.append(np.stack([s, s + np.asarray(r, np.int64)],
+                                   axis=1))
+        joined = ranges_to_rle(join_ranges(ranges))
+        starts, runs = joined[:, 0], joined[:, 1]
+    box = attrs_list[0]["box"]
+    for attrs in attrs_list[1:]:
+        box = merge_boxes(box, attrs["box"])
     return {
-        "box": merge_boxes(rle_attr1["box"], rle_attr2["box"]),
+        "box": box,
         "starts": starts,
         "runs": runs,
-        # merge_rles output is canonical by construction
+        # both union paths emit canonical output
         "_canon": (starts, runs, int(np.sum(runs))),
     }
 
@@ -173,7 +200,7 @@ class RLEMatcher:
         target_labels, match_labels = all_labels
         label_matches = {ml: tl for tl, ml in zip(*matched_labels)}
 
-        matched_rles = {}
+        groups = {}
         for i, (ml, mattrs) in enumerate(match_instance_rle.items()):
             if ml in label_matches:
                 new_label = label_matches[ml]
@@ -188,12 +215,14 @@ class RLEMatcher:
                     self.next_label += 1
                 else:
                     new_label = ml
+            groups.setdefault(new_label, []).append(mattrs)
 
-            if new_label not in matched_rles:
-                matched_rles[new_label] = mattrs
-            else:
-                matched_rles[new_label] = merge_attrs(
-                    matched_rles[new_label], mattrs)
+        # all instances routed to one label union in a single range join
+        # (associative: same result as the chained pairwise merges)
+        matched_rles = {
+            label: merge_attrs_many(attrs_list)
+            for label, attrs_list in groups.items()
+        }
 
         if update_target:
             self.update_target(matched_rles)
