@@ -141,14 +141,26 @@ def chunked_fill_instances(store, instances: dict, chunks=None, processes=1):
 
         bh, bw = y1 - y0, x1 - x0
         flat = np.ascontiguousarray(block).reshape(-1)
+        # the native run fill writes 4/8-byte lanes; an unsigned view of
+        # the same width is bit-identical for non-negative ids (stores
+        # default to uint32, which previously fell through to the numpy
+        # repeat path and its per-run index allocations)
+        if flat.dtype == np.uint32:
+            fill_view = flat.view(np.int32)
+        elif flat.dtype == np.uint64:
+            fill_view = flat.view(np.int64)
+        else:
+            fill_view = flat
         for instance_id, s, r in fills:
             # convert global raveled coords to block-local raveled coords
             z = s // (h * w) - z0
             y = (s // w) % h - y0
             x = s % w - x0
             local = (z * bh + y) * bw + x
-            if flat.dtype in (np.int32, np.int64):
-                if native.fill_runs(flat, local, r, instance_id) is not None:
+            if fill_view.dtype in (np.int32, np.int64) \
+                    and 0 <= instance_id < 2 ** 31:
+                if native.fill_runs(fill_view, local, r,
+                                    instance_id) is not None:
                     continue
             idx = np.repeat(local, r) + _within_run_offsets(r)
             flat[idx] = instance_id
