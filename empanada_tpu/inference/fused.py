@@ -36,6 +36,7 @@ Host code drives blocks and hands (pan, runs) to the matcher thread.
 from __future__ import annotations
 
 import math
+import os
 from collections import deque
 
 import jax
@@ -291,19 +292,28 @@ class FusedStackEngine:
             norm_key = (mean, std)
         else:
             norm_key = None
+        # env-gated trace-time variants (s2d stem, approx top-k, Pallas
+        # grouping) change the traced graph without changing any module
+        # config — they MUST key the cache or an in-process A/B silently
+        # reuses the other variant's compiled fn
+        env_key = tuple(
+            os.environ.get(v, "") for v in
+            ("EMPANADA_S2D_STEM", "EMPANADA_APPROX_TOPK",
+             "EMPANADA_PALLAS_GROUP"))
         key = (kind, self.module, num_classes, render_steps, upsampling,
                max_runs, tuple(crop), tuple(pad_shape), B, self.ks,
                norm_key, tuple(self.thing_list), self.label_divisor,
                self.stuff_area, self.void_label, self.nms_threshold,
                self.nms_kernel, self.confidence_thr, self.max_centers,
-               self.coarse_boundaries, self._mesh, tuple(extra))
+               self.coarse_boundaries, self._mesh, env_key, tuple(extra))
         try:
             hash(key)
         except TypeError:
             # module configs with unhashable fields fall back to object
             # identity (still correct: the cached fn's closure keeps the
             # module alive, so its id cannot be recycled)
-            key = (kind, id(self.module)) + key[2:-2] + (id(self._mesh),
+            key = (kind, id(self.module)) + key[2:-3] + (id(self._mesh),
+                                                         env_key,
                                                          tuple(extra))
         return key
 

