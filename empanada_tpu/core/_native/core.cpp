@@ -10,6 +10,7 @@
 #include <algorithm>
 #include <cstdint>
 #include <cstring>
+#include <utility>
 #include <vector>
 
 extern "C" {
@@ -83,6 +84,28 @@ int64_t etpu_ranges_intersection(const int64_t* a, int64_t na,
 // pair. One call replaces thousands of per-pair ctypes crossings in the
 // slice matcher's IoU matrix construction (inference/matcher.py).
 // ---------------------------------------------------------------------------
+// binary search: first range index in r[0..n) whose END is > x
+static inline int64_t first_end_after(const int64_t* r, int64_t n,
+                                      int64_t x) {
+  int64_t lo = 0, hi = n;
+  while (lo < hi) {
+    int64_t mid = (lo + hi) >> 1;
+    if (r[2 * mid + 1] > x) hi = mid; else lo = mid + 1;
+  }
+  return lo;
+}
+
+// binary search: first range index in r[0..n) whose START is >= x
+static inline int64_t first_start_at(const int64_t* r, int64_t n,
+                                     int64_t x) {
+  int64_t lo = 0, hi = n;
+  while (lo < hi) {
+    int64_t mid = (lo + hi) >> 1;
+    if (r[2 * mid] >= x) hi = mid; else lo = mid + 1;
+  }
+  return lo;
+}
+
 void etpu_pair_intersections(const int64_t* ranges_a, const int64_t* offs_a,
                              const int64_t* ranges_b, const int64_t* offs_b,
                              const int64_t* pairs, int64_t n_pairs,
@@ -93,8 +116,20 @@ void etpu_pair_intersections(const int64_t* ranges_a, const int64_t* offs_a,
     const int64_t* b = ranges_b + 2 * offs_b[ib];
     int64_t na = offs_a[ia + 1] - offs_a[ia];
     int64_t nb = offs_b[ib + 1] - offs_b[ib];
-    int64_t i = 0, j = 0, total = 0;
-    while (i < na && j < nb) {
+    if (na == 0 || nb == 0) { out[p] = 0; continue; }
+    // clip both walks to the mutual span: consensus instances span
+    // thousands of ranges each, but cross-axis pairs often overlap in a
+    // small window — the full two-pointer walk was the dominant native
+    // cost of the 512^3 consensus graph
+    int64_t span_lo = std::max(a[0], b[0]);
+    int64_t span_hi = std::min(a[2 * (na - 1) + 1], b[2 * (nb - 1) + 1]);
+    if (span_hi <= span_lo) { out[p] = 0; continue; }
+    int64_t i = first_end_after(a, na, span_lo);
+    int64_t j = first_end_after(b, nb, span_lo);
+    int64_t i_end = first_start_at(a, na, span_hi);
+    int64_t j_end = first_start_at(b, nb, span_hi);
+    int64_t total = 0;
+    while (i < i_end && j < j_end) {
       int64_t lo = std::max(a[2 * i], b[2 * j]);
       int64_t hi = std::min(a[2 * i + 1], b[2 * j + 1]);
       if (hi > lo) total += hi - lo;
@@ -102,6 +137,45 @@ void etpu_pair_intersections(const int64_t* ranges_a, const int64_t* offs_a,
     }
     out[p] = total;
   }
+}
+
+// ---------------------------------------------------------------------------
+// K-way merge of k individually sorted-by-start range lists (concatenated in
+// cat with offs) into one start-sorted list. Used by the consensus vote:
+// numpy's argsort of the concatenation was the second-largest consensus
+// cost; merging k already-sorted instance RLEs is linear in total ranges.
+// ---------------------------------------------------------------------------
+int64_t etpu_kway_merge_ranges(const int64_t* cat, const int64_t* offs,
+                               int64_t k, int64_t* out) {
+  // simple binary-heap of (current start, list index)
+  std::vector<std::pair<int64_t, int64_t>> heap;
+  std::vector<int64_t> pos(k);
+  heap.reserve(k);
+  for (int64_t l = 0; l < k; ++l) {
+    pos[l] = offs[l];
+    if (offs[l] < offs[l + 1])
+      heap.emplace_back(cat[2 * offs[l]], l);
+  }
+  auto cmp = [](const std::pair<int64_t, int64_t>& x,
+                const std::pair<int64_t, int64_t>& y) {
+    return x.first > y.first ||
+           (x.first == y.first && x.second > y.second);
+  };
+  std::make_heap(heap.begin(), heap.end(), cmp);
+  int64_t n_out = 0;
+  while (!heap.empty()) {
+    std::pop_heap(heap.begin(), heap.end(), cmp);
+    auto [start, l] = heap.back();
+    heap.pop_back();
+    out[2 * n_out] = start;
+    out[2 * n_out + 1] = cat[2 * pos[l] + 1];
+    ++n_out;
+    if (++pos[l] < offs[l + 1]) {
+      heap.emplace_back(cat[2 * pos[l]], l);
+      std::push_heap(heap.begin(), heap.end(), cmp);
+    }
+  }
+  return n_out;
 }
 
 // ---------------------------------------------------------------------------

@@ -102,6 +102,12 @@ def get_lib():
             pass  # stale .so; callers fall back
 
         try:
+            lib.etpu_kway_merge_ranges.restype = i64
+            lib.etpu_kway_merge_ranges.argtypes = [p64, p64, i64, p64]
+        except AttributeError:
+            pass  # stale .so; callers fall back
+
+        try:
             lib.etpu_box_overlap_pairs.restype = i64
             lib.etpu_box_overlap_pairs.argtypes = [p64, i64, p64, i64,
                                                    i64, p64, p64, i64]
@@ -168,6 +174,22 @@ def pair_intersections(ranges_a_cat, offs_a, ranges_b_cat, offs_b, pairs):
     out = np.empty(len(pairs), dtype=np.int64)
     lib.etpu_pair_intersections(ranges_a_cat, offs_a, ranges_b_cat, offs_b,
                                 pairs, len(pairs), out)
+    return out
+
+
+def kway_merge_ranges(cat, offs):
+    """Merge k individually start-sorted range lists (concatenated in
+    ``cat`` (n, 2) with ``offs`` (k+1,)) into one start-sorted (n, 2)
+    list — identical output to a stable argsort of the concatenation.
+    Returns None without the library."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "etpu_kway_merge_ranges"):
+        return None
+    cat = _c64(cat)
+    offs = _c64(offs)
+    out = np.empty_like(cat)
+    n = lib.etpu_kway_merge_ranges(cat, offs, len(offs) - 1, out)
+    assert n == len(cat), (n, len(cat))
     return out
 
 

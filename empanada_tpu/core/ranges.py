@@ -54,6 +54,18 @@ def concat_sort_ranges(list_of_ranges) -> np.ndarray:
     if not list_of_ranges:
         return _EMPTY.copy()
     ranges = np.concatenate(list_of_ranges, axis=0)
+    if len(list_of_ranges) > 1 and all(
+            len(r) < 2 or bool(np.all(r[1:, 0] >= r[:-1, 0]))
+            for r in list_of_ranges):
+        # every input is already start-sorted (canonical RLEs — the
+        # consensus vote path): a native k-way merge replaces the
+        # argsort of the concatenation, bit-identical output (ties keep
+        # concatenation order, like the stable argsort)
+        offs = np.zeros(len(list_of_ranges) + 1, dtype=np.int64)
+        offs[1:] = np.cumsum([len(r) for r in list_of_ranges])
+        merged = native.kway_merge_ranges(ranges, offs)
+        if merged is not None:
+            return merged
     order = np.argsort(ranges[:, 0], kind="stable")
     return ranges[order]
 
