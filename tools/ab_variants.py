@@ -41,9 +41,39 @@ def main():
     from empanada_tpu.data.synthetic import synthetic_em_volume
     from empanada_tpu.inference.fused import FusedStackEngine
 
-    model, variables, _cpu = build_model()
+    model, variables, cpu = build_model()
     vol, _gt = synthetic_em_volume((N_SLICES, 512, 512), n_instances=100,
                                    seed=7)
+
+    # int8 variants: full-model PTQ (bench.py's int8 mode) and
+    # ENCODER-ONLY PTQ — the encoder is the ~17 ms half of the block and
+    # is where the MXU's 2x int8 rate could bite without perturbing the
+    # PointRend/postprocess numerics (VERDICT r3 item 4)
+    import contextlib
+
+    import jax
+
+    from empanada_tpu.export import quantize_variables_int8
+    from empanada_tpu.models.quantization import (
+        Int8Module,
+        calibrate_activations,
+    )
+
+    with jax.default_device(cpu) if cpu else contextlib.nullcontext():
+        calib = [((vol[i][:256, :256].astype(np.float32) / 255.0 - 0.57)
+                  / 0.12)[None, ..., None] for i in (0, 64)]
+        act_scales = calibrate_activations(
+            model, variables, calib,
+            apply_kwargs={"train": False, "render_steps": 2,
+                          "interpolate_ins": False})
+    enc_scales = {k: v for k, v in act_scales.items()
+                  if k.startswith("encoder_mod")}
+    int8_pairs = {
+        "int8": (Int8Module(model, act_scales),
+                 quantize_variables_int8(variables, act_scales.keys())),
+        "int8_enc": (Int8Module(model, enc_scales),
+                     quantize_variables_int8(variables, enc_scales.keys())),
+    }
 
     engine_kw = dict(
         thing_list=[1], block_size=8, label_divisor=LABEL_DIVISOR,
@@ -62,6 +92,8 @@ def main():
         "s2d+approx": ({"EMPANADA_S2D_STEM": "1",
                         "EMPANADA_APPROX_TOPK": "1"}, {}, "stream"),
         "resident1": ({}, {"scan_blocks": 1}, "resident"),
+        "int8": ({}, {}, "stream"),
+        "int8_enc": ({}, {}, "stream"),
     }
     gate_vars = ("EMPANADA_S2D_STEM", "EMPANADA_APPROX_TOPK")
 
@@ -70,7 +102,8 @@ def main():
         for v in gate_vars:
             os.environ.pop(v, None)
         os.environ.update(env)
-        engines[name] = FusedStackEngine(model, variables,
+        mod, var = int8_pairs.get(name, (model, variables))
+        engines[name] = FusedStackEngine(mod, var,
                                          **{**engine_kw, **kw})
         # trace + compile under this env (env is read at trace time)
         run_stack_pass(engines[name], vol, variants[name][2])
