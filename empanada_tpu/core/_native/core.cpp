@@ -213,6 +213,58 @@ int64_t etpu_rle_union(const int64_t* a, int64_t na,
 }
 
 // ---------------------------------------------------------------------------
+// K-way union DIRECTLY on starts/runs arrays: k individually canonical
+// (start-sorted, disjoint) RLEs concatenated in starts_cat/runs_cat with
+// offs (k+1 list offsets) -> one canonical RLE, coalescing overlap and
+// touch. Identical output to join_ranges(lists) but skips the (n, 2)
+// range packing, the generic sort, and the coverage sweep — the matcher
+// unions instance RLEs ~100x per slice at product density
+// (inference/matcher.py merge_attrs_many). out_* must hold sum(n_i)
+// entries. Returns the output run count.
+// ---------------------------------------------------------------------------
+int64_t etpu_kway_union_sr(const int64_t* starts_cat, const int64_t* runs_cat,
+                           const int64_t* offs, int64_t k,
+                           int64_t* out_starts, int64_t* out_runs) {
+  // heap of (current start, list index), min-first
+  std::vector<std::pair<int64_t, int64_t>> heap;
+  std::vector<int64_t> pos(k);
+  heap.reserve(k);
+  for (int64_t l = 0; l < k; ++l) {
+    pos[l] = offs[l];
+    if (offs[l] < offs[l + 1]) heap.emplace_back(starts_cat[offs[l]], l);
+  }
+  auto cmp = [](const std::pair<int64_t, int64_t>& x,
+                const std::pair<int64_t, int64_t>& y) {
+    return x.first > y.first;
+  };
+  std::make_heap(heap.begin(), heap.end(), cmp);
+  int64_t n_out = 0;
+  int64_t cur_s = 0, cur_e = -1;  // empty current range
+  while (!heap.empty()) {
+    std::pop_heap(heap.begin(), heap.end(), cmp);
+    auto [s, l] = heap.back();
+    heap.pop_back();
+    int64_t e = s + runs_cat[pos[l]];
+    if (cur_e < cur_s) {
+      cur_s = s; cur_e = e;
+    } else if (s <= cur_e) {  // overlap or touch: extend
+      if (e > cur_e) cur_e = e;
+    } else {
+      out_starts[n_out] = cur_s; out_runs[n_out] = cur_e - cur_s; ++n_out;
+      cur_s = s; cur_e = e;
+    }
+    if (++pos[l] < offs[l + 1]) {
+      heap.emplace_back(starts_cat[pos[l]], l);
+      std::push_heap(heap.begin(), heap.end(), cmp);
+    }
+  }
+  if (cur_e >= cur_s) {
+    out_starts[n_out] = cur_s; out_runs[n_out] = cur_e - cur_s; ++n_out;
+  }
+  return n_out;
+}
+
+// ---------------------------------------------------------------------------
 // Sparse pairwise box overlap: emit all (ia, ib) pairs of half-open
 // N-d boxes with positive intersection volume, plus that volume.
 //

@@ -108,6 +108,13 @@ def get_lib():
             pass  # stale .so; callers fall back
 
         try:
+            lib.etpu_kway_union_sr.restype = i64
+            lib.etpu_kway_union_sr.argtypes = [p64, p64, p64, i64,
+                                               p64, p64]
+        except AttributeError:
+            pass  # stale .so; callers fall back
+
+        try:
             lib.etpu_box_overlap_pairs.restype = i64
             lib.etpu_box_overlap_pairs.argtypes = [p64, i64, p64, i64,
                                                    i64, p64, p64, i64]
@@ -191,6 +198,25 @@ def kway_merge_ranges(cat, offs):
     n = lib.etpu_kway_merge_ranges(cat, offs, len(offs) - 1, out)
     assert n == len(cat), (n, len(cat))
     return out
+
+
+def kway_union_sr(starts_cat, runs_cat, offs):
+    """Union of k individually canonical (start-sorted, disjoint) RLEs
+    given DIRECTLY as concatenated starts/runs with ``offs`` (k+1 list
+    offsets) — identical output to join_ranges over the packed ranges,
+    without the (n, 2) packing, generic sort, or coverage sweep.
+    Returns (starts, runs) int64 or None without the library."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "etpu_kway_union_sr"):
+        return None
+    starts_cat = np.ascontiguousarray(starts_cat, dtype=np.int64)
+    runs_cat = np.ascontiguousarray(runs_cat, dtype=np.int64)
+    offs = _c64(offs)
+    out_s = np.empty(len(starts_cat), dtype=np.int64)
+    out_r = np.empty(len(runs_cat), dtype=np.int64)
+    n = lib.etpu_kway_union_sr(starts_cat, runs_cat, offs, len(offs) - 1,
+                               out_s, out_r)
+    return out_s[:n].copy(), out_r[:n].copy()
 
 
 def rle_union(ranges_a, ranges_b):

@@ -11,8 +11,8 @@ from __future__ import annotations
 import numpy as np
 from scipy.optimize import linear_sum_assignment
 
-from empanada_tpu.core.boxes import box_iou_pairs, merge_boxes
-from empanada_tpu.core.rle import merge_rles, rle_pairwise_intersections
+from empanada_tpu.core.boxes import box_iou_pairs
+from empanada_tpu.core.rle import rle_pairwise_intersections
 from empanada_tpu.inference.rle import unpack_rle_attrs
 
 __all__ = ["rle_matcher", "RLEMatcher", "merge_attrs", "merge_attrs_many",
@@ -30,37 +30,57 @@ def _canon_sr(attrs):
 
 
 def merge_attrs_many(attrs_list):
-    """Union of k instance attr dicts in ONE range join (the matcher's
-    false-split healing can route several instances into the same
-    target; pairwise chained merges re-swept the accumulated RLE each
-    time and paid a native-call crossing per pair)."""
+    """Union of k instance attr dicts in ONE native k-way merge (the
+    matcher's false-split healing can route several instances into the
+    same target; pairwise chained merges re-swept the accumulated RLE
+    each time and paid a native-call crossing per pair)."""
     if len(attrs_list) == 1:
         return attrs_list[0]
-    if len(attrs_list) == 2:
-        s1, r1 = _canon_sr(attrs_list[0])
-        s2, r2 = _canon_sr(attrs_list[1])
-        starts, runs = merge_rles(s1, r1, s2, r2)
-    else:
-        from empanada_tpu.core.ranges import join_ranges, ranges_to_rle
-
-        ranges = []
-        for attrs in attrs_list:
-            s, r = _canon_sr(attrs)
-            s = np.asarray(s, dtype=np.int64)
-            ranges.append(np.stack([s, s + np.asarray(r, np.int64)],
-                                   axis=1))
-        joined = ranges_to_rle(join_ranges(ranges))
-        starts, runs = joined[:, 0], joined[:, 1]
-    box = attrs_list[0]["box"]
-    for attrs in attrs_list[1:]:
-        box = merge_boxes(box, attrs["box"])
+    pairs = [_canon_sr(a) for a in attrs_list]
+    starts, runs = _union_sr_many(pairs, [a.get("_canon") is not None
+                                          for a in attrs_list])
+    boxes = np.asarray([a["box"] for a in attrs_list], dtype=np.int64)
+    nd = boxes.shape[1] // 2
+    box = tuple(int(v) for v in boxes[:, :nd].min(axis=0)) + \
+        tuple(int(v) for v in boxes[:, nd:].max(axis=0))
     return {
         "box": box,
         "starts": starts,
         "runs": runs,
-        # both union paths emit canonical output
+        # every union path emits canonical output
         "_canon": (starts, runs, int(np.sum(runs))),
     }
+
+
+def _union_sr_many(pairs, canon_flags):
+    """Union of k (starts, runs) RLEs -> canonical (starts, runs).
+
+    Takes the native k-way starts/runs merge when every input is
+    canonical (guaranteed for attrs carrying ``_canon``; checked O(n)
+    otherwise); falls back to the generic sort+coverage join."""
+    from empanada_tpu.core import native
+
+    arrs = [(np.asarray(s, np.int64), np.asarray(r, np.int64))
+            for s, r in pairs]
+    ok = all(
+        flag or len(s) < 2 or bool(np.all(s[1:] >= s[:-1] + r[:-1]))
+        for (s, r), flag in zip(arrs, canon_flags))
+    if ok:
+        lens = [len(s) for s, _ in arrs]
+        offs = np.zeros(len(arrs) + 1, dtype=np.int64)
+        offs[1:] = np.cumsum(lens)
+        s_cat = (np.concatenate([s for s, _ in arrs])
+                 if len(arrs) > 1 else arrs[0][0])
+        r_cat = (np.concatenate([r for _, r in arrs])
+                 if len(arrs) > 1 else arrs[0][1])
+        out = native.kway_union_sr(s_cat, r_cat, offs)
+        if out is not None:
+            return out
+    from empanada_tpu.core.ranges import join_ranges, ranges_to_rle
+
+    ranges = [np.stack([s, s + r], axis=1) for s, r in arrs]
+    joined = ranges_to_rle(join_ranges(ranges))
+    return joined[:, 0], joined[:, 1]
 
 
 def rle_matcher(target_instance_rles, match_instance_rles, iou_thr=0.5,

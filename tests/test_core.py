@@ -237,3 +237,59 @@ def test_take_put_helpers():
     np.testing.assert_array_equal(take(a, [0, 2], axis=2), a[:, :, [0, 2]])
     put(a, 0, 99, axis=2)
     assert (a[:, :, 0] == 99).all()
+
+
+class TestKwayUnionSR:
+    """Native k-way starts/runs union (core/native.py kway_union_sr and
+    its consumer matcher.merge_attrs_many) vs the generic
+    join_ranges-based union on random inputs — overlapping, abutting,
+    disjoint, empty, and k=1..8."""
+
+    @pytest.mark.parametrize("seed", range(8))
+    def test_matches_join_ranges(self, seed):
+        from empanada_tpu.core import native
+        from empanada_tpu.core.ranges import join_ranges, ranges_to_rle
+
+        if native.get_lib() is None or not hasattr(
+                native.get_lib(), "etpu_kway_union_sr"):
+            pytest.skip("native lib without etpu_kway_union_sr")
+        rng = np.random.default_rng(seed)
+        k = int(rng.integers(1, 9))
+        starts_list, runs_list, ranges = [], [], []
+        for _ in range(k):
+            n = int(rng.integers(0, 40))
+            idx = np.unique(rng.integers(0, 300, size=n))
+            if len(idx) == 0:
+                s = np.zeros(0, np.int64)
+                r = np.zeros(0, np.int64)
+            else:
+                from empanada_tpu.core import rle_encode
+
+                s, r = rle_encode(idx)
+            starts_list.append(np.asarray(s, np.int64))
+            runs_list.append(np.asarray(r, np.int64))
+            ranges.append(np.stack([starts_list[-1],
+                                    starts_list[-1] + runs_list[-1]],
+                                   axis=1))
+        offs = np.zeros(k + 1, np.int64)
+        offs[1:] = np.cumsum([len(s) for s in starts_list])
+        got = native.kway_union_sr(
+            np.concatenate(starts_list) if k > 1 else starts_list[0],
+            np.concatenate(runs_list) if k > 1 else runs_list[0], offs)
+        expected = ranges_to_rle(join_ranges(ranges))
+        np.testing.assert_array_equal(got[0], expected[:, 0])
+        np.testing.assert_array_equal(got[1], expected[:, 1])
+
+    def test_merge_attrs_many_unsorted_fallback(self):
+        """Raw attrs (no _canon) with UNSORTED starts must still union
+        correctly via the generic path."""
+        from empanada_tpu.inference.matcher import merge_attrs_many
+
+        a = {"box": (0, 0, 2, 2), "starts": np.array([10, 0]),
+             "runs": np.array([5, 3])}
+        b = {"box": (1, 1, 3, 3), "starts": np.array([4]),
+             "runs": np.array([8])}
+        out = merge_attrs_many([a, b])
+        np.testing.assert_array_equal(out["starts"], [0, 4])
+        np.testing.assert_array_equal(out["runs"], [3, 11])
+        assert out["box"] == (0, 0, 3, 3)
