@@ -220,21 +220,26 @@ class RLEMatcher:
         target_labels, match_labels = all_labels
         label_matches = {ml: tl for tl, ml in zip(*matched_labels)}
 
+        # one whole-matrix reduction instead of per-column max/argmax
+        # (two small-array numpy calls per instance at 100+ inst/slice)
+        if ioa_matrix is not None and ioa_matrix.size:
+            ioa_max = ioa_matrix.max(axis=0)
+            ioa_arg = ioa_matrix.argmax(axis=0)
+        else:
+            ioa_max = ioa_arg = None
+
         groups = {}
         for i, (ml, mattrs) in enumerate(match_instance_rle.items()):
             if ml in label_matches:
                 new_label = label_matches[ml]
+            elif ioa_max is not None and ioa_max[i] >= self.merge_ioa_thr:
+                # false split: absorb into the most-covering target
+                new_label = target_labels[int(ioa_arg[i])]
+            elif self.assign_new:
+                new_label = self.next_label
+                self.next_label += 1
             else:
-                ioa_col = ioa_matrix[:, i] if len(ioa_matrix) > 0 else None
-                ioa_max = ioa_col.max() if ioa_col is not None and len(ioa_col) else 0
-                if ioa_max >= self.merge_ioa_thr:
-                    # false split: absorb into the most-covering target
-                    new_label = target_labels[int(np.argmax(ioa_col))]
-                elif self.assign_new:
-                    new_label = self.next_label
-                    self.next_label += 1
-                else:
-                    new_label = ml
+                new_label = ml
             groups.setdefault(new_label, []).append(mattrs)
 
         # all instances routed to one label union in a single range join
