@@ -279,6 +279,20 @@ class FusedStackEngine:
             B = min(B, -(-(-(-need // 8) * 8) // mf) * mf)
         return B
 
+    def _auto_max_runs(self, H):
+        """Packed-run budget for a padded slice height H (sem res).
+
+        Product-density EM instances measure ~50 foreground runs each
+        (one per row spanned; tools/probe_matcher.py: 9074 runs at 168
+        inst on 512^2), so the per-instance coefficient must grow with
+        slice extent: ``H // 21`` is exactly 24 at H = 512 — every
+        compiled graph at <= 512^2 keeps its shapes — and 48 at
+        H = 1024, where the flat 24 * max_centers budget (12288 at
+        max_centers 512) sat below the ~19k runs/slice of a 1k^3
+        product volume and forced the dense-map D2H fallback on every
+        slice."""
+        return max(4096, 8 * H, max(24, H // 21) * self.max_centers)
+
     def _trace_key(self, kind, num_classes, render_steps, upsampling,
                    max_runs, crop, pad_shape, B, extra=()):
         """Everything the block-function trace closes over, for the
@@ -592,8 +606,7 @@ class FusedStackEngine:
         # reference pdl_inference3d.py:28-31) each instance contributes
         # ~one run per row it spans, so 8*H alone systematically
         # overflows and every slice falls back to a dense-map pull
-        max_runs = self.max_runs or max(
-            4096, 8 * H, 24 * self.max_centers)
+        max_runs = self.max_runs or self._auto_max_runs(H)
 
         block_starts = list(range(0, n + mid, B))
         n_padded = block_starts[-1] + B
@@ -782,8 +795,7 @@ class FusedStackEngine:
         # reference pdl_inference3d.py:28-31) each instance contributes
         # ~one run per row it spans, so 8*H alone systematically
         # overflows and every slice falls back to a dense-map pull
-        max_runs = self.max_runs or max(
-            4096, 8 * H, 24 * self.max_centers)
+        max_runs = self.max_runs or self._auto_max_runs(H)
 
         fn_key = (render_steps, upsampling, tuple(ex0["size"]), max_runs,
                   (ph, pw), img0.dtype.str, B)

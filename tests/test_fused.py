@@ -350,3 +350,19 @@ def test_block_fn_and_pinned_vars_shared_across_engines(model_and_vol):
     for _ in c.infer_stack(_DS(vol)):
         pass
     assert c._block_fn is not b._block_fn
+
+
+def test_auto_run_budget_scales_with_slice_area():
+    """The auto packed-run budget must keep <=512^2 graph shapes stable
+    (no recompiles of existing executables) while scaling past the
+    product's runs/slice at 1k^2 (~19k at 380 inst/slice) so large
+    volumes don't systematically hit the dense-map D2H fallback."""
+    e = FusedStackEngine.__new__(FusedStackEngine)
+    e.max_centers = 512
+    assert e._auto_max_runs(128) == 12288
+    assert e._auto_max_runs(320) == 12288
+    assert e._auto_max_runs(512) == 12288      # unchanged legacy shapes
+    assert e._auto_max_runs(1024) == 24576     # > ~19k product runs
+    assert e._auto_max_runs(2048) >= 2 * 24576
+    e.max_centers = 256
+    assert e._auto_max_runs(512) == 6144       # unchanged legacy shapes
