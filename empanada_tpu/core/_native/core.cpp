@@ -213,6 +213,68 @@ int64_t etpu_rle_union(const int64_t* a, int64_t na,
 }
 
 // ---------------------------------------------------------------------------
+// K-way coverage vote over k individually canonical (start-sorted,
+// disjoint) range lists: emit the maximal ranges where >= thr lists
+// overlap. Equivalent to the concat-sort + end-sort coverage sweep
+// (etpu_coverage_ranges after a k-way merge) but in ONE O(n log k) heap
+// pass with no sort — the consensus pixel vote runs this over every
+// cluster's member RLEs (inference/consensus.py). All events sharing a
+// coordinate apply together (half-open ranges: touch at thr boundaries
+// merges, exactly the numpy event-sweep semantics). out must hold n
+// ranges. Returns the output count.
+// ---------------------------------------------------------------------------
+int64_t etpu_kway_vote(const int64_t* cat, const int64_t* offs, int64_t k,
+                       int64_t thr, int64_t* out) {
+  // event streams: 2 per list (starts ascending, ends ascending —
+  // both hold for disjoint sorted runs). stream id 2l = starts of
+  // list l (+1), 2l+1 = ends (-1).
+  struct Ev { int64_t coord; int64_t stream; };
+  std::vector<Ev> heap;
+  std::vector<int64_t> pos(2 * k);
+  heap.reserve(2 * k);
+  for (int64_t l = 0; l < k; ++l) {
+    pos[2 * l] = offs[l];
+    pos[2 * l + 1] = offs[l];
+    if (offs[l] < offs[l + 1]) {
+      heap.push_back({cat[2 * offs[l]], 2 * l});
+      heap.push_back({cat[2 * offs[l] + 1], 2 * l + 1});
+    }
+  }
+  auto cmp = [](const Ev& x, const Ev& y) { return x.coord > y.coord; };
+  std::make_heap(heap.begin(), heap.end(), cmp);
+  int64_t n_out = 0, depth = 0, cur_start = 0;
+  bool above = false;
+  while (!heap.empty()) {
+    int64_t coord = heap.front().coord;
+    int64_t delta = 0;
+    while (!heap.empty() && heap.front().coord == coord) {
+      std::pop_heap(heap.begin(), heap.end(), cmp);
+      int64_t stream = heap.back().stream;
+      heap.pop_back();
+      int64_t l = stream / 2;
+      bool is_end = stream & 1;
+      delta += is_end ? -1 : 1;
+      int64_t& p = pos[stream];
+      if (++p < offs[l + 1]) {
+        heap.push_back({cat[2 * p + (is_end ? 1 : 0)], stream});
+        std::push_heap(heap.begin(), heap.end(), cmp);
+      }
+    }
+    depth += delta;
+    if (!above && depth >= thr) {
+      above = true;
+      cur_start = coord;
+    } else if (above && depth < thr) {
+      above = false;
+      out[2 * n_out] = cur_start;
+      out[2 * n_out + 1] = coord;
+      ++n_out;
+    }
+  }
+  return n_out;
+}
+
+// ---------------------------------------------------------------------------
 // K-way union DIRECTLY on starts/runs arrays: k individually canonical
 // (start-sorted, disjoint) RLEs concatenated in starts_cat/runs_cat with
 // offs (k+1 list offsets) -> one canonical RLE, coalescing overlap and

@@ -108,6 +108,12 @@ def get_lib():
             pass  # stale .so; callers fall back
 
         try:
+            lib.etpu_kway_vote.restype = i64
+            lib.etpu_kway_vote.argtypes = [p64, p64, i64, i64, p64]
+        except AttributeError:
+            pass  # stale .so; callers fall back
+
+        try:
             lib.etpu_kway_union_sr.restype = i64
             lib.etpu_kway_union_sr.argtypes = [p64, p64, p64, i64,
                                                p64, p64]
@@ -198,6 +204,22 @@ def kway_merge_ranges(cat, offs):
     n = lib.etpu_kway_merge_ranges(cat, offs, len(offs) - 1, out)
     assert n == len(cat), (n, len(cat))
     return out
+
+
+def kway_vote(cat, offs, thr):
+    """Maximal ranges covered by >= thr of the k individually canonical
+    (start-sorted, disjoint) range lists concatenated in ``cat`` (n, 2)
+    with ``offs`` (k+1,) — identical output to the concat-sort +
+    coverage sweep, in one O(n log k) heap pass with no sort.
+    Returns (m, 2) int64 or None without the library."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "etpu_kway_vote"):
+        return None
+    cat = _c64(cat)
+    offs = _c64(offs)
+    out = np.empty_like(cat)
+    n = lib.etpu_kway_vote(cat, offs, len(offs) - 1, thr, out)
+    return out[:n].copy()
 
 
 def kway_union_sr(starts_cat, runs_cat, offs):

@@ -108,8 +108,31 @@ def _coverage_ranges(ranges: np.ndarray, thr: int) -> np.ndarray:
     return np.stack([out_starts, out_ends], axis=1)
 
 
+def _kway_vote_fast(list_of_ranges, thr):
+    """Native one-pass k-way coverage vote when every input is canonical
+    (start-sorted AND disjoint — instance RLEs by construction); None
+    when an input fails the check or the library is absent."""
+    cleaned = []
+    for r in list_of_ranges:
+        r = np.asarray(r, dtype=np.int64).reshape(-1, 2)
+        if len(r) > 1 and not bool(np.all(r[1:, 0] >= r[:-1, 1])):
+            return None
+        cleaned.append(r)
+    offs = np.zeros(len(cleaned) + 1, dtype=np.int64)
+    offs[1:] = np.cumsum([len(r) for r in cleaned])
+    cat = (np.concatenate(cleaned, axis=0) if len(cleaned) > 1
+           else cleaned[0])
+    return native.kway_vote(cat, offs, thr)
+
+
 def join_ranges(list_of_ranges) -> np.ndarray:
     """Union of possibly-overlapping ranges -> disjoint sorted ranges."""
+    list_of_ranges = [r for r in list_of_ranges if len(r) > 0]
+    if not list_of_ranges:
+        return _EMPTY.copy()
+    out = _kway_vote_fast(list_of_ranges, 1)
+    if out is not None:
+        return out
     ranges = concat_sort_ranges(list_of_ranges)
     return _coverage_ranges(ranges, 1)
 
@@ -125,6 +148,9 @@ def vote_by_ranges(list_of_ranges, vote_thr: int = 2) -> np.ndarray:
         return join_ranges(list_of_ranges)
     if len(list_of_ranges) < vote_thr:
         return _EMPTY.copy()
+    out = _kway_vote_fast(list_of_ranges, vote_thr)
+    if out is not None:
+        return out
     ranges = concat_sort_ranges(list_of_ranges)
     return _coverage_ranges(ranges, vote_thr)
 

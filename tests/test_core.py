@@ -293,3 +293,53 @@ class TestKwayUnionSR:
         np.testing.assert_array_equal(out["starts"], [0, 4])
         np.testing.assert_array_equal(out["runs"], [3, 11])
         assert out["box"] == (0, 0, 3, 3)
+
+
+class TestKwayVote:
+    """Native one-pass k-way coverage vote vs the concat-sort + coverage
+    sweep on random canonical inputs, every threshold."""
+
+    @pytest.mark.parametrize("seed", range(8))
+    def test_matches_coverage_sweep(self, seed):
+        from empanada_tpu.core import native, rle_encode
+        from empanada_tpu.core.ranges import (
+            _coverage_ranges,
+            concat_sort_ranges,
+        )
+
+        if native.get_lib() is None or not hasattr(
+                native.get_lib(), "etpu_kway_vote"):
+            pytest.skip("native lib without etpu_kway_vote")
+        rng = np.random.default_rng(100 + seed)
+        k = int(rng.integers(1, 7))
+        lists = []
+        for _ in range(k):
+            idx = np.unique(rng.integers(0, 200, size=rng.integers(0, 50)))
+            if len(idx) == 0:
+                lists.append(np.zeros((0, 2), np.int64))
+                continue
+            s, r = rle_encode(idx)
+            lists.append(np.stack([np.asarray(s, np.int64),
+                                   np.asarray(s, np.int64)
+                                   + np.asarray(r, np.int64)], axis=1))
+        offs = np.zeros(k + 1, np.int64)
+        offs[1:] = np.cumsum([len(r) for r in lists])
+        cat = (np.concatenate(lists, axis=0) if k > 1 else lists[0])
+        for thr in range(1, k + 2):
+            got = native.kway_vote(cat, offs, thr)
+            expected = _coverage_ranges(concat_sort_ranges(lists), thr)
+            np.testing.assert_array_equal(got, expected, err_msg=f"thr={thr}")
+
+    def test_vote_by_ranges_uses_identical_semantics(self):
+        """Public vote_by_ranges must give the same answer whether or not
+        the native fast path engages (unsorted input forces the generic
+        sweep; sorting it engages the fast path)."""
+        from empanada_tpu.core.ranges import vote_by_ranges
+
+        a = np.array([[0, 5], [10, 20]], np.int64)
+        b = np.array([[3, 12]], np.int64)
+        a_unsorted = a[::-1].copy()
+        got_fast = vote_by_ranges([a, b], 2)
+        got_generic = vote_by_ranges([a_unsorted, b], 2)
+        np.testing.assert_array_equal(got_fast, got_generic)
+        np.testing.assert_array_equal(got_fast, [[3, 5], [10, 12]])
