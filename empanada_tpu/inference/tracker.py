@@ -101,15 +101,21 @@ class InstanceTracker:
                 starts2d, runs2d = split_starts, split_runs
             else:
                 out_counts = counts
-            z, x = np.unravel_index(starts2d, shape2d)
-            starts = np.ravel_multi_index(
-                (z, np.full_like(z, index2d), x), shape3d)
+            # 2D (z, x) -> 3D (z, y=index2d, x) raveling in closed form:
+            # z*H*W + index2d*W + x  ==  flat + (flat//W)*(H-1)*W + y*W
+            # (one div + fused mul-adds; the generic unravel_index +
+            # ravel_multi_index pair allocated a full_like constant row
+            # and three temporaries per slice — measurable at product
+            # density where this runs per slice on ~10^5-run buffers)
+            W3 = shape3d[2]
+            starts = starts2d + (starts2d // W3) * (shape3d[1] - 1) * W3 \
+                + index2d * W3
             runs = runs2d
         else:  # yz: runs break per voxel in volume order
             flat2d = rle_decode(starts2d, runs2d)
-            z, y = np.unravel_index(flat2d, shape2d)
-            starts = np.ravel_multi_index(
-                (z, y, np.full_like(z, index2d)), shape3d)
+            # 2D (z, y) -> 3D (z, y, x=index2d): (z*H + y)*W + x with
+            # flat2d == z*H + y, so one multiply-add — no unravel at all
+            starts = flat2d * shape3d[2] + index2d
             runs = np.ones_like(starts)
             seg = np.repeat(np.arange(len(labels)), counts)
             out_counts = np.bincount(
@@ -135,14 +141,35 @@ class InstanceTracker:
         for instance_id, attrs in self.instances.items():
             if not isinstance(attrs["starts"], list):
                 continue
-            starts = np.concatenate(attrs["starts"])
+            # backward matching updates slices in DECREASING index order
+            # and each per-slice segment is internally ascending, so the
+            # reversed concatenation is already globally sorted for the
+            # xy axis (slice index is the high raveling digit) — an O(n)
+            # check there replaces the O(n log n) sort. Forward-order
+            # flows (e.g. direct update loops) sort under the other
+            # orientation; anything else falls through to the sort.
+            def _sorted(a):
+                return len(a) < 2 or bool(np.all(a[1:] >= a[:-1]))
+
+            order_used = None
+            for sl in (slice(None, None, -1), slice(None)):
+                starts = np.concatenate(attrs["starts"][sl])
+                if _sorted(starts):
+                    order_used = sl
+                    break
             if self.axis == "yz":
                 # voxels were not run length encoded; sort and re-encode
-                starts, runs = rle_encode(np.sort(starts, kind="stable"))
+                if order_used is None:
+                    starts = np.sort(starts, kind="stable")
+                starts, runs = rle_encode(starts)
             else:
-                runs = np.concatenate(attrs["runs"])
-                order = np.argsort(starts, kind="stable")
-                starts, runs = starts[order], runs[order]
+                if order_used is not None:
+                    runs = np.concatenate(attrs["runs"][order_used])
+                else:
+                    runs = np.concatenate(attrs["runs"])
+                    starts = np.concatenate(attrs["starts"])
+                    order = np.argsort(starts, kind="stable")
+                    starts, runs = starts[order], runs[order]
             attrs["starts"] = starts
             attrs["runs"] = runs
         self.finished = True
