@@ -327,6 +327,31 @@ int64_t etpu_kway_union_sr(const int64_t* starts_cat, const int64_t* runs_cat,
 }
 
 // ---------------------------------------------------------------------------
+// Batched k-way unions: group_offs (g+1) partitions the offs entries
+// into g groups of lists; each group is unioned independently
+// (etpu_kway_union_sr) and written consecutively into out_starts/
+// out_runs with out_offs (g+1) marking the per-group extents. One
+// native crossing replaces the matcher's per-target-label union calls
+// (~10^2 per slice at product density). Returns total output runs.
+// ---------------------------------------------------------------------------
+int64_t etpu_kway_union_batch(const int64_t* starts_cat,
+                              const int64_t* runs_cat, const int64_t* offs,
+                              const int64_t* group_offs, int64_t g,
+                              int64_t* out_starts, int64_t* out_runs,
+                              int64_t* out_offs) {
+  int64_t total = 0;
+  out_offs[0] = 0;
+  for (int64_t i = 0; i < g; ++i) {
+    int64_t k = group_offs[i + 1] - group_offs[i];
+    total += etpu_kway_union_sr(starts_cat, runs_cat,
+                                offs + group_offs[i], k,
+                                out_starts + total, out_runs + total);
+    out_offs[i + 1] = total;
+  }
+  return total;
+}
+
+// ---------------------------------------------------------------------------
 // Sparse pairwise box overlap: emit all (ia, ib) pairs of half-open
 // N-d boxes with positive intersection volume, plus that volume.
 //

@@ -121,6 +121,13 @@ def get_lib():
             pass  # stale .so; callers fall back
 
         try:
+            lib.etpu_kway_union_batch.restype = i64
+            lib.etpu_kway_union_batch.argtypes = [p64, p64, p64, p64,
+                                                  i64, p64, p64, p64]
+        except AttributeError:
+            pass  # stale .so; callers fall back
+
+        try:
             lib.etpu_box_overlap_pairs.restype = i64
             lib.etpu_box_overlap_pairs.argtypes = [p64, i64, p64, i64,
                                                    i64, p64, p64, i64]
@@ -239,6 +246,29 @@ def kway_union_sr(starts_cat, runs_cat, offs):
     n = lib.etpu_kway_union_sr(starts_cat, runs_cat, offs, len(offs) - 1,
                                out_s, out_r)
     return out_s[:n].copy(), out_r[:n].copy()
+
+
+def kway_union_batch(starts_cat, runs_cat, offs, group_offs):
+    """Independent k-way unions of g groups of canonical RLE lists in
+    ONE native crossing. ``offs`` (m+1) delimits the m input lists in
+    the concatenated starts/runs; ``group_offs`` (g+1) partitions the
+    lists into groups. Returns (out_starts, out_runs, out_offs) with
+    out_offs (g+1) delimiting each group's union, or None without the
+    library."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "etpu_kway_union_batch"):
+        return None
+    starts_cat = np.ascontiguousarray(starts_cat, dtype=np.int64)
+    runs_cat = np.ascontiguousarray(runs_cat, dtype=np.int64)
+    offs = _c64(offs)
+    group_offs = _c64(group_offs)
+    g = len(group_offs) - 1
+    out_s = np.empty(len(starts_cat), dtype=np.int64)
+    out_r = np.empty(len(runs_cat), dtype=np.int64)
+    out_offs = np.empty(g + 1, dtype=np.int64)
+    n = lib.etpu_kway_union_batch(starts_cat, runs_cat, offs, group_offs,
+                                  g, out_s, out_r, out_offs)
+    return out_s[:n].copy(), out_r[:n].copy(), out_offs
 
 
 def rle_union(ranges_a, ranges_b):

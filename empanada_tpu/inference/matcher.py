@@ -52,6 +52,61 @@ def merge_attrs_many(attrs_list):
     }
 
 
+def merge_attrs_batch(groups_lists):
+    """Union each group of instance attr dicts — all groups in ONE
+    native crossing (core/native.kway_union_batch). Same outputs as
+    [merge_attrs_many(g) for g in groups_lists]; falls back to exactly
+    that when an input is non-canonical or the library is absent."""
+    from empanada_tpu.core import native
+
+    arrs, flags = [], []
+    lens, group_sizes = [], []
+    for lst in groups_lists:
+        group_sizes.append(len(lst))
+        for a in lst:
+            s, r = _canon_sr(a)
+            arrs.append((np.asarray(s, np.int64), np.asarray(r, np.int64)))
+            flags.append(a.get("_canon") is not None)
+            lens.append(len(arrs[-1][0]))
+    ok = all(
+        flag or len(s) < 2 or bool(np.all(s[1:] >= s[:-1] + r[:-1]))
+        for (s, r), flag in zip(arrs, flags))
+    out = None
+    if ok and len(arrs) > 1:
+        offs = np.zeros(len(arrs) + 1, dtype=np.int64)
+        offs[1:] = np.cumsum(lens)
+        group_offs = np.zeros(len(groups_lists) + 1, dtype=np.int64)
+        group_offs[1:] = np.cumsum(group_sizes)
+        out = native.kway_union_batch(
+            np.concatenate([s for s, _ in arrs]),
+            np.concatenate([r for _, r in arrs]), offs, group_offs)
+    if out is None:
+        return [merge_attrs_many(lst) for lst in groups_lists]
+    out_s, out_r, out_offs = out
+
+    # enclosing boxes: one reduceat pair over all groups
+    boxes = np.asarray([a["box"] for lst in groups_lists for a in lst],
+                       dtype=np.int64)
+    nd = boxes.shape[1] // 2
+    seg = np.zeros(len(groups_lists) + 1, dtype=np.int64)
+    seg[1:] = np.cumsum(group_sizes)
+    lo = np.minimum.reduceat(boxes[:, :nd], seg[:-1], axis=0)
+    hi = np.maximum.reduceat(boxes[:, nd:], seg[:-1], axis=0)
+
+    merged = []
+    for i in range(len(groups_lists)):
+        s = out_s[out_offs[i]:out_offs[i + 1]]
+        r = out_r[out_offs[i]:out_offs[i + 1]]
+        merged.append({
+            "box": tuple(int(v) for v in lo[i]) + tuple(int(v)
+                                                        for v in hi[i]),
+            "starts": s,
+            "runs": r,
+            "_canon": (s, r, int(np.sum(r))),
+        })
+    return merged
+
+
 def _union_sr_many(pairs, canon_flags):
     """Union of k (starts, runs) RLEs -> canonical (starts, runs).
 
@@ -242,10 +297,13 @@ class RLEMatcher:
                 new_label = ml
             groups.setdefault(new_label, []).append(mattrs)
 
-        # all instances routed to one label union in a single range join
-        # (associative: same result as the chained pairwise merges)
+        # all multi-instance labels union in ONE batched native call
+        # (associative: same result as the chained pairwise merges);
+        # singletons pass through untouched
+        multi = [lst for lst in groups.values() if len(lst) > 1]
+        merged = iter(merge_attrs_batch(multi)) if multi else None
         matched_rles = {
-            label: merge_attrs_many(attrs_list)
+            label: attrs_list[0] if len(attrs_list) == 1 else next(merged)
             for label, attrs_list in groups.items()
         }
 

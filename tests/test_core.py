@@ -343,3 +343,34 @@ class TestKwayVote:
         got_generic = vote_by_ranges([a_unsorted, b], 2)
         np.testing.assert_array_equal(got_fast, got_generic)
         np.testing.assert_array_equal(got_fast, [[3, 5], [10, 12]])
+
+
+def test_kway_union_batch_matches_per_group():
+    """Batched native unions (matcher.merge_attrs_batch) must equal
+    per-group merge_attrs_many on random groups, including singletons
+    and heavy overlap."""
+    from empanada_tpu.core import rle_encode
+    from empanada_tpu.inference.matcher import (
+        merge_attrs_batch,
+        merge_attrs_many,
+    )
+
+    rng = np.random.default_rng(3)
+    groups = []
+    for _ in range(12):
+        lst = []
+        for _ in range(int(rng.integers(1, 5))):
+            idx = np.unique(rng.integers(0, 400, size=rng.integers(1, 60)))
+            s, r = rle_encode(idx)
+            s = np.asarray(s, np.int64)
+            r = np.asarray(r, np.int64)
+            lst.append({"box": (int(idx.min()), 0, int(idx.max()) + 1, 1),
+                        "starts": s, "runs": r,
+                        "_canon": (s, r, int(r.sum()))})
+        groups.append(lst)
+    got = merge_attrs_batch(groups)
+    for g, lst in zip(got, groups):
+        want = merge_attrs_many(list(lst))
+        np.testing.assert_array_equal(g["starts"], want["starts"])
+        np.testing.assert_array_equal(g["runs"], want["runs"])
+        assert g["box"] == want["box"]
