@@ -42,8 +42,12 @@ def main():
     from empanada_tpu.inference.fused import FusedStackEngine
 
     model, variables, cpu = build_model()
-    vol, _gt = synthetic_em_volume((N_SLICES, 512, 512), n_instances=100,
-                                   seed=7)
+    # EMPANADA_AB_SLICES/SIDE: shrink the workload for CPU smoke tests
+    # of the variant construction paths (the device A/B uses defaults)
+    n_slices = int(os.environ.get("EMPANADA_AB_SLICES", N_SLICES))
+    side = int(os.environ.get("EMPANADA_AB_SIDE", 512))
+    vol, _gt = synthetic_em_volume((n_slices, side, side),
+                                   n_instances=100, seed=7)
 
     # int8 variants: full-model PTQ (bench.py's int8 mode) and
     # ENCODER-ONLY PTQ — the encoder is the ~17 ms half of the block and
@@ -61,7 +65,8 @@ def main():
 
     with jax.default_device(cpu) if cpu else contextlib.nullcontext():
         calib = [((vol[i][:256, :256].astype(np.float32) / 255.0 - 0.57)
-                  / 0.12)[None, ..., None] for i in (0, 64)]
+                  / 0.12)[None, ..., None]
+                 for i in (0, min(64, n_slices - 1))]
         act_scales = calibrate_activations(
             model, variables, calib,
             apply_kwargs={"train": False, "render_steps": 2,
@@ -128,7 +133,7 @@ def main():
     base = counts["baseline"]
     print(json.dumps({
         "slices_per_sec": {
-            name: round(N_SLICES / min(ts), 2)
+            name: round(n_slices / min(ts), 2)
             for name, ts in times.items()},
         "instances_matched": counts,
         "instance_count_rel_delta": {
