@@ -31,5 +31,12 @@ run int8_mxu 3600 python tools/probe_int8_mxu.py
 # 4. product scale with the model in the loop (VERDICT item 1)
 run product_512 7200 python tools/probe_product_scale.py 512 2400
 
+# 5. per-primitive roofline table of the block dispatch (VERDICT weak #2)
+run roofline 3600 python tools/probe_roofline.py
+
+# 6. the 1k^3 point with the model in the loop (long; fine to lose to
+#    a tunnel drop — everything above is already captured)
+run product_1024 21600 python tools/probe_product_scale.py 1024 10000
+
 echo "=== device session complete $(date -u +%H:%M:%S)" \
   | tee -a "$OUT/session.log"
