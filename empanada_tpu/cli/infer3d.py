@@ -75,6 +75,13 @@ def parse_args(argv=None):
     parser.add_argument("-n-devices", type=int, dest="n_devices", default=0,
                         help="Shard slice blocks over N devices "
                              "(0 = single device)")
+    parser.add_argument("-pipeline-depth", type=int, dest="pipeline_depth",
+                        default=8,
+                        help="Device blocks kept in flight past the "
+                             "consumer; deep pipelines hide the "
+                             "per-dispatch round-trip latency that "
+                             "dominates small-slice axes "
+                             "(docs/performance.md)")
     parser.add_argument("--one-view", action="store_true")
     parser.add_argument("--fine-boundaries", action="store_true")
     parser.add_argument("--quantized", action="store_true",
@@ -124,7 +131,7 @@ def run_inference3d(
     downsample_f=1, one_view=False, fine_boundaries=False,
     padding_factor=128, max_centers=256, save_panoptic_dir=None,
     progress=True, block_size=None, mesh=None, norms=None, tfs=None,
-    resident=False, stats=None, max_runs=None,
+    resident=False, stats=None, max_runs=None, pipeline_depth=8,
 ):
     """Full 3D inference; returns {class_id: consensus InstanceTracker}.
 
@@ -186,6 +193,7 @@ def run_inference3d(
         stuff_area=0,
         mesh=mesh,
         device_norms=device_norms,
+        pipeline_depth=pipeline_depth,
     )
 
     finish_threads = []
@@ -336,6 +344,7 @@ def main(argv=None):
         block_size=args.block_size,
         mesh=mesh,
         resident=args.resident,
+        pipeline_depth=args.pipeline_depth,
         save_panoptic_dir=(
             os.path.dirname(os.path.abspath(args.volume_path))
             if args.save_panoptic else None),
