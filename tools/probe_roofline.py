@@ -7,20 +7,24 @@ trace of the block function on the real TPU and reports the top ops by
 self-time, with bytes/flops context where the HLO cost model provides
 it.
 
-Run on the TPU: PYTHONPATH=. python tools/probe_roofline.py
-Falls back to a stage-split timing table if device tracing is
-unavailable through the tunnel.
+Run on the TPU: PYTHONPATH=. python tools/probe_roofline.py [H W]
+(default 512 512 — pass e.g. 320 320 to attribute the orthoplane
+slice shape). Falls back to a stage-split timing table if device
+tracing is unavailable through the tunnel.
 """
 
 import glob
 import gzip
 import json
 import os
+import sys
 import time
 
 import numpy as np
 
 TRACE_DIR = "/tmp/roofline_trace"
+H = int(sys.argv[1]) if len(sys.argv) > 2 else 512
+W = int(sys.argv[2]) if len(sys.argv) > 2 else 512
 
 
 def build_block_fn():
@@ -55,7 +59,7 @@ def capture(engine):
     import jax
 
     rng = np.random.default_rng(0)
-    vol = (rng.normal(0.5, 0.1, (24, 512, 512)).clip(0, 1)
+    vol = (rng.normal(0.5, 0.1, (24, H, W)).clip(0, 1)
            * 255).astype(np.uint8)
 
     class DS:
@@ -63,7 +67,7 @@ def capture(engine):
             return 24
 
         def __getitem__(self, i):
-            return {"index": i, "image": vol[i], "size": (512, 512)}
+            return {"index": i, "image": vol[i], "size": (H, W)}
 
     # warmup/compile
     for _ in engine.infer_blocks(DS()):
