@@ -8,6 +8,8 @@ ChunkedVolume, zarr arrays if installed, or numpy memmaps).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from empanada_tpu.core import native
@@ -167,6 +169,15 @@ def chunked_fill_instances(store, instances: dict, chunks=None, processes=1):
 
         store[z0:z1, y0:y1, x0:x1] = flat.reshape(z1 - z0, bh, bw)
 
+    # threads only help with real parallel cores: on a 1-core host the
+    # pool oversubscribes the GIL/compressor and measures 1.5-7x SLOWER
+    # than serial (0.6 s -> 1-4.4 s on the bench volume), so clamp to
+    # the cores this process may actually use
+    try:
+        n_cores = len(os.sched_getaffinity(0))
+    except AttributeError:  # non-Linux
+        n_cores = os.cpu_count() or 1
+    processes = min(processes, n_cores)
     if processes > 1 and len(per_chunk) > 1:
         from concurrent.futures import ThreadPoolExecutor
 

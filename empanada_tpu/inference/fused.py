@@ -269,8 +269,13 @@ class FusedStackEngine:
         if self.block_size is not None:
             return self.block_size
         ph, pw = pad_shape
-        scale = max(1, min(8, (512 * 512) // max(ph * pw, 1)))
-        B = 8 * scale * mf
+        # round the pixel-budget scale to the nearest block quantum
+        # instead of flooring: a 384^2 padded slice is 1.78x smaller
+        # than 512^2 but floored to scale 1, leaving B=8 and twice the
+        # dispatch count (dispatch+D2H round-trips are latency-bound on
+        # tunneled devices, ~110-160 ms/op)
+        B = 8 * (512 * 512) * mf / max(ph * pw, 1)
+        B = max(8 * mf, min(64 * mf, round(B / (8 * mf)) * 8 * mf))
         need = n + self.mid
         if B > need:
             # clamp to the stack, rounded to a multiple of 8 (bounds
@@ -279,8 +284,8 @@ class FusedStackEngine:
             B = min(B, -(-(-(-need // 8) * 8) // mf) * mf)
         return B
 
-    def _auto_max_runs(self, H):
-        """Packed-run budget for a padded slice height H (sem res).
+    def _auto_max_runs(self, H, W):
+        """Packed-run budget for a padded slice of H x W (sem res).
 
         Product-density EM instances measure ~50 foreground runs each
         (one per row spanned; tools/probe_matcher.py: 9074 runs at 168
@@ -290,8 +295,20 @@ class FusedStackEngine:
         H = 1024, where the flat 24 * max_centers budget (12288 at
         max_centers 512) sat below the ~19k runs/slice of a 1k^3
         product volume and forced the dense-map D2H fallback on every
-        slice."""
-        return max(4096, 8 * H, max(24, H // 21) * self.max_centers)
+        slice.
+
+        The instance-count term alone still under-budgets when the
+        model fills a large fraction of the slice: a 512^3 product
+        volume at ~215 predicted inst/slice measures ~15.4k device
+        runs/slice (2026-08-18 chip probe) against the 12288 budget,
+        putting EVERY slice on the dense-pull fallback (0.7 slices/s).
+        Foreground runs are bounded by fg_area / mean_run_length, so an
+        area term H*W/16 (6.25% of pixels; measured peak is ~5.9%)
+        keeps dense product content packed while costing only
+        3*4*H*W/16 = 0.75 bytes/pixel of D2H — 5x under the dense
+        uint32 plane the fallback would pull."""
+        return max(4096, 8 * H, max(24, H // 21) * self.max_centers,
+                   (H * W) // 16)
 
     def _trace_key(self, kind, num_classes, render_steps, upsampling,
                    max_runs, crop, pad_shape, B, extra=()):
@@ -606,7 +623,7 @@ class FusedStackEngine:
         # reference pdl_inference3d.py:28-31) each instance contributes
         # ~one run per row it spans, so 8*H alone systematically
         # overflows and every slice falls back to a dense-map pull
-        max_runs = self.max_runs or self._auto_max_runs(H)
+        max_runs = self.max_runs or self._auto_max_runs(H, W)
 
         block_starts = list(range(0, n + mid, B))
         n_padded = block_starts[-1] + B
@@ -795,7 +812,7 @@ class FusedStackEngine:
         # reference pdl_inference3d.py:28-31) each instance contributes
         # ~one run per row it spans, so 8*H alone systematically
         # overflows and every slice falls back to a dense-map pull
-        max_runs = self.max_runs or self._auto_max_runs(H)
+        max_runs = self.max_runs or self._auto_max_runs(H, W)
 
         fn_key = (render_steps, upsampling, tuple(ex0["size"]), max_runs,
                   (ph, pw), img0.dtype.str, B)

@@ -353,16 +353,19 @@ def test_block_fn_and_pinned_vars_shared_across_engines(model_and_vol):
 
 
 def test_auto_run_budget_scales_with_slice_area():
-    """The auto packed-run budget must keep <=512^2 graph shapes stable
-    (no recompiles of existing executables) while scaling past the
-    product's runs/slice at 1k^2 (~19k at 380 inst/slice) so large
-    volumes don't systematically hit the dense-map D2H fallback."""
+    """The auto packed-run budget must scale with slice AREA: product
+    512^3 content measures ~15.4k device runs/slice (chip probe
+    2026-08-18) — fg runs are bounded by fg area / run length, not by
+    the instance budget alone — so the floor is H*W/16 (6.25% of
+    pixels vs the measured ~5.9% peak). Small slices keep the
+    instance-count term so sparse content still has headroom."""
     e = FusedStackEngine.__new__(FusedStackEngine)
     e.max_centers = 512
-    assert e._auto_max_runs(128) == 12288
-    assert e._auto_max_runs(320) == 12288
-    assert e._auto_max_runs(512) == 12288      # unchanged legacy shapes
-    assert e._auto_max_runs(1024) == 24576     # > ~19k product runs
-    assert e._auto_max_runs(2048) >= 2 * 24576
+    assert e._auto_max_runs(128, 128) == 12288
+    assert e._auto_max_runs(320, 320) == 12288
+    assert e._auto_max_runs(512, 512) == 16384   # area floor > 15.4k
+    assert e._auto_max_runs(1024, 1024) == 65536
+    assert e._auto_max_runs(2048, 2048) >= 2 * 65536
     e.max_centers = 256
-    assert e._auto_max_runs(512) == 6144       # unchanged legacy shapes
+    assert e._auto_max_runs(512, 512) == 16384   # area floor
+    assert e._auto_max_runs(128, 384) == 6144    # ortho thin slices

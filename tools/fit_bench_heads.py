@@ -21,6 +21,12 @@ bench model is the seeded init). Run:
   PYTHONPATH=. python tools/fit_bench_heads.py
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import os
 
 if __name__ == "__main__":  # fitting runs on CPU; bench imports
@@ -92,14 +98,27 @@ def main():
     from empanada_tpu.data.synthetic import synthetic_em_volume
 
     model, variables = bench_model_variables()
-    vol, gt = synthetic_em_volume((32, H, W), n_instances=48, seed=7)
+
+    # fit on MIXED density so the heads hold up at the product's
+    # operating point (round-3 VERDICT missing #1: ~200 inst/slice at
+    # 512^3): 6 sparse slices (~10 inst/slice, the original bench
+    # density) + 6 product-density slices (~200 inst/slice, matching
+    # tools/probe_product_scale.py's 512^3 x2400 regime). Heads fit
+    # only on sparse content fragmented badly at product density
+    # (model found 51 of 207 inst/slice and >90% of slices blew the
+    # packed-run budget, /tmp devsess product_512 2026-08-18).
+    vol_s, gt_s = synthetic_em_volume((32, H, W), n_instances=48, seed=7)
+    vol_d, gt_d = synthetic_em_volume((32, H, W), n_instances=220,
+                                      seed=17)
 
     idx = np.linspace(2, 29, FIT_SLICES).astype(int)
-    batch = ((vol[idx].astype(np.float32) / 255.0 - NORMS["mean"])
+    slices = np.concatenate([vol_s[idx], vol_d[idx]])
+    gt_slices = [gt_s[i] for i in idx] + [gt_d[i] for i in idx]
+    batch = ((slices.astype(np.float32) / 255.0 - NORMS["mean"])
              / NORMS["std"])[..., None]
 
     feats = {}
-    for start in range(0, FIT_SLICES, 2):  # small batches: RAM
+    for start in range(0, len(batch), 2):  # small batches: RAM
         _, inter = model.apply(variables, batch[start:start + 2],
                                train=False, capture_intermediates=True)
         flat = traverse_util.flatten_dict(inter["intermediates"])
@@ -109,7 +128,7 @@ def main():
             feats.setdefault(head, []).append(f)
     feats = {k: np.concatenate(v) for k, v in feats.items()}
 
-    sem_t, ctr_t, off_t = head_targets([gt[i] for i in idx])
+    sem_t, ctr_t, off_t = head_targets(gt_slices)
 
     w_sem = ridge(feats["semantic_head"], (sem_t * 2 - 1) * 4.0)
     w_ctr = ridge(feats["ins_center"], ctr_t)
@@ -126,13 +145,18 @@ def main():
     w_pr = np.zeros((in_dim, n_cls), np.float32)
     w_pr[-n_cls:] = np.eye(n_cls)
 
-    # fit quality report
+    # fit quality report (overall + per density regime)
     pred = (feats["semantic_head"].reshape(-1, C) @ w_sem).reshape(sem_t.shape)
     iou = (((pred > 0) & (sem_t > 0)).sum()
            / (((pred > 0) | (sem_t > 0)).sum() + 1))
     predc = (feats["ins_center"].reshape(-1, C) @ w_ctr).reshape(ctr_t.shape)
     print(f"sem fit IoU={iou:.3f}  ctr corr="
           f"{np.corrcoef(predc.ravel(), ctr_t.ravel())[0, 1]:.3f}")
+    half = FIT_SLICES
+    for name, sl in (("sparse", slice(0, half)), ("dense", slice(half, None))):
+        p, t = pred[sl], sem_t[sl]
+        piou = (((p > 0) & (t > 0)).sum() / (((p > 0) | (t > 0)).sum() + 1))
+        print(f"  {name}: sem IoU={piou:.3f}")
     assert iou > 0.5, iou
 
     np.savez(

@@ -17,6 +17,12 @@ tool measures it directly:
 Run: PYTHONPATH=. python tools/parity_e2e.py
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import json
 import os
 

@@ -5,6 +5,12 @@ Hypothesis: host<->device transfers of arrays with tiny trailing dims
 the tunnel; flat 1D buffers move at ~1 GB/s. Reshape on device.
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import time
 from collections import deque
 

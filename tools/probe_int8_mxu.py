@@ -19,6 +19,12 @@ known-FLOP bf16 matmul sanity op to calibrate the run.
 Run on the TPU from the repo root: python tools/probe_int8_mxu.py
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import time
 
 import jax

@@ -10,6 +10,12 @@ Questions this answers (all with tiny, fast-compiling graphs):
 Run: python tools/probe_pipeline.py   (on the axon TPU, NOT forced cpu)
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import time
 
 import jax

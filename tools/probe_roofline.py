@@ -13,6 +13,12 @@ slice shape). Falls back to a stage-split timing table if device
 tracing is unavailable through the tunnel.
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import glob
 import gzip
 import json

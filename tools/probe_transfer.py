@@ -3,6 +3,12 @@
 Run on the axon TPU: python tools/probe_transfer.py
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import threading
 import time
 

@@ -5,6 +5,12 @@ per-stage latency breakdown (load, dispatch, consume-D2H, match).
 Run: PYTHONPATH=. python tools/sweep_bench.py [--blocks 16,32] [--depths 1,2,4]
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import argparse
 import json
 import time

@@ -5,6 +5,12 @@ instances found, F1@50 >= 0.6 after only 12 quick epochs.
 
 Run: PYTHONPATH=. python tools/train_to_segmentation_demo.py
 """
+
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import os
 os.environ['XLA_FLAGS'] = '--xla_force_host_platform_device_count=8'
 os.environ['JAX_PLATFORMS'] = 'cpu'

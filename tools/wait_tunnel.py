@@ -9,6 +9,12 @@ handshake succeeded.
 Run: python tools/wait_tunnel.py [poll_seconds]
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import subprocess
 import sys
 import time
