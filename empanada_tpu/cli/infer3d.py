@@ -224,10 +224,14 @@ def run_inference3d(
                                              upsampling=downsample_f)
 
         pan_stack = [] if save_panoptic_dir else None
+        if pan_stack is not None:
+            sl_h, sl_w = (int(s) for s in np.asarray(dataset[0]["size"]))
         for z_indices, pan_block, packed in block_iter:
             fm.put_block(z_indices, pan_block, packed)
             if pan_stack is not None:
-                block = np.asarray(pan_block)
+                # blocks carry lane-aligned padded maps; crop to the
+                # true slice shape here (fused.py postprocess_one)
+                block = np.asarray(pan_block)[..., :sl_h, :sl_w]
                 pan_stack.extend(block[j] for j, z in enumerate(z_indices)
                                  if z is not None)
 

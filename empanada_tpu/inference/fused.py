@@ -180,8 +180,13 @@ class FusedStackEngine:
 
     ``infer_blocks(dataset)`` yields (z_indices, pan_block, packed) per
     block — packed is the single int32 run buffer the ForwardMatcher
-    consumes with ONE device-to-host transfer per block.
-    ``infer_stack(dataset)`` is the per-slice generator view.
+    consumes with ONE device-to-host transfer per block. pan_block and
+    the run coordinates stay on the LANE-ALIGNED padded grid (device
+    crops to non-128-multiple shapes measured 2.4x slower); the packed
+    header (n_runs, oh, ow) carries the true crop for the host-side
+    rebase (rle.unpack_packed_runs).
+    ``infer_stack(dataset)`` is the per-slice generator view (already
+    rebased/cropped).
 
     ``device_norms=(mean, std)``: normalize on device; feed the engine
     RAW (un-normalized) slices — uint8 volumes upload 4x smaller.
@@ -396,13 +401,27 @@ class FusedStackEngine:
                     sem, ins_coarse, self.label_divisor, thing_table,
                     self.stuff_area, self.void_label, self.max_centers,
                     num_classes)
-            pan = pan[:oh, :ow]
+            # STAY on the lane-aligned padded grid: cropping pan to a
+            # non-128-multiple minor dim inside the block fn measured
+            # 2.4x slower per slice end-to-end (320^2 crop of a 384^2
+            # pad: 21.6 vs 8.9 ms/slice, 448^2 crop of 512^2: 35.9 vs
+            # 15.4 — 2026-08-19 chip A/B). Zero the pad margin so it
+            # contributes no runs; the header carries the true crop and
+            # the host rebases run coordinates with unit-stride math
+            # (rle.unpack_packed_runs).
+            if pan.shape != (oh, ow):
+                in_crop = (
+                    (jnp.arange(pan.shape[0], dtype=jnp.int32)[:, None]
+                     < oh)
+                    & (jnp.arange(pan.shape[1], dtype=jnp.int32)[None, :]
+                       < ow))
+                pan = jnp.where(in_crop, pan, 0)
             starts, ends, values, n_runs = extract_fg_runs(pan, max_runs)
             # pack runs + count into ONE int32 buffer: D2H on this
             # environment costs ~100ms *per operation* regardless of
             # size, so the whole block must cross in a single transfer
             header = jnp.stack(
-                [n_runs, jnp.int32(0), jnp.int32(0)])[None]
+                [n_runs, jnp.int32(oh), jnp.int32(ow)])[None]
             packed = jnp.concatenate(
                 [header, jnp.stack([starts, ends, values], axis=-1)],
                 axis=0)  # (1 + max_runs, 3)
@@ -583,7 +602,7 @@ class FusedStackEngine:
                 lambda c, _: step(variables, chunk, chunk_base, c),
                 carry, None, length=scan_k)
             cs, cc, co, z0 = carry
-            return cs, cc, co, z0, pan, packed  # (k, B, oh, ow), (k, L)
+            return cs, cc, co, z0, pan, packed  # (k, B, ph, pw), (k, L)
 
         fn = jax.jit(scan_fn, donate_argnums=(1, 2, 3, 4))
         _BLOCK_FN_CACHE[cache_key] = fn
@@ -771,19 +790,29 @@ class FusedStackEngine:
     def infer_stack(self, dataset, upsampling=1):
         """Per-slice view: yields (z, pan_slice, (starts, ends, values,
         n_runs)) — convenience for tests/small volumes; prefer
-        infer_blocks + ForwardMatcher.put_block on real devices."""
+        infer_blocks + ForwardMatcher.put_block on real devices.
+
+        pan_slice and the run coordinates are in TRUE crop shape: the
+        blocks carry lane-aligned padded maps (see postprocess_one);
+        this view rebases them on the host."""
+        from empanada_tpu.inference.rle import unpack_packed_runs
+
         for z_indices, pan, packed in self.infer_blocks(dataset, upsampling):
             arr = np.asarray(packed)
             if arr.ndim == 1:
                 arr = arr.reshape(len(z_indices), -1, 3)
+            pad_shape = tuple(pan.shape[-2:])
             for j, z in enumerate(z_indices):
                 if z is None:
                     continue
                 n_runs = arr[j, 0, 0]
-                starts = arr[j, 1:, 0]
-                ends = arr[j, 1:, 1]
-                values = arr[j, 1:, 2]
-                yield z, pan[j], (starts, ends, values, n_runs)
+                starts, ends, values, (oh, ow) = unpack_packed_runs(
+                    arr[j], pad_shape)
+                if starts is None:  # overflow: consumer uses the pan map
+                    starts = arr[j, 1:, 0]
+                    ends = arr[j, 1:, 1]
+                    values = arr[j, 1:, 2]
+                yield z, pan[j][:oh, :ow], (starts, ends, values, n_runs)
 
     def infer_blocks(self, dataset, upsampling=1):
         assert math.log2(upsampling).is_integer()
@@ -911,9 +940,9 @@ class FusedStackEngine:
                 if 0 <= block_start + j - mid < n else None
                 for j in range(B)
             ]
-            # pan is already cropped to the original slice shape inside
-            # the block fn (so the device-extracted runs ravel with the
-            # true width)
+            # pan stays lane-aligned (padded); the packed header carries
+            # the true crop shape for the host-side rebase
+            # (rle.unpack_packed_runs)
             pending.append((z_indices, pan, packed))
             if len(pending) >= group_k:
                 inflight.extend(self._flush_group(pending))

@@ -27,7 +27,11 @@ from empanada_tpu.inference.consensus import (
     merge_semantic_from_trackers,
 )
 from empanada_tpu.inference.matcher import RLEMatcher
-from empanada_tpu.inference.rle import pan_seg_to_rle_seg, runs_to_rle_seg
+from empanada_tpu.inference.rle import (
+    pan_seg_to_rle_seg,
+    runs_to_rle_seg,
+    unpack_packed_runs,
+)
 from empanada_tpu.inference.tracker import InstanceTracker
 
 __all__ = [
@@ -145,23 +149,22 @@ class ForwardMatcher:
         arr = np.asarray(packed)  # ONE D2H for the whole block
         if arr.ndim == 1:  # flat transfer (fused.py flat_io)
             arr = arr.reshape(len(z_indices), -1, 3)
-        shape = tuple(pan_block.shape[-2:])
-        max_runs = arr.shape[1] - 1
+        pad_shape = tuple(pan_block.shape[-2:])
         segs = []
         for j, z in enumerate(z_indices):
             if z is None:
                 continue
-            n = int(arr[j, 0, 0])
-            if n <= max_runs:
+            starts, ends, values, (oh, ow) = unpack_packed_runs(
+                arr[j], pad_shape)
+            if starts is not None:
                 rle_seg = runs_to_rle_seg(
-                    arr[j, 1:n + 1, 0], arr[j, 1:n + 1, 1],
-                    arr[j, 1:n + 1, 2], shape, self.labels,
+                    starts, ends, values, (oh, ow), self.labels,
                     self.label_divisor, self.thing_list)
             else:  # run budget overflow: pull the dense map
                 with self._ovf_lock:
                     self.overflow_count += 1
                 rle_seg = pan_seg_to_rle_seg(
-                    np.asarray(pan_block[j]), self.labels,
+                    np.asarray(pan_block[j])[:oh, :ow], self.labels,
                     self.label_divisor, self.thing_list)
             segs.append(rle_seg)
         return segs

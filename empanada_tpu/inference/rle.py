@@ -22,8 +22,43 @@ __all__ = [
     "pan_seg_to_rle_seg",
     "runs_to_rle_seg",
     "rle_seg_to_pan_seg",
+    "unpack_packed_runs",
     "unpack_rle_attrs",
 ]
+
+
+def unpack_packed_runs(row, pad_shape):
+    """Decode one slice row of a fused-engine packed buffer.
+
+    ``row`` is ``(1 + max_runs, 3)`` int32 with header
+    ``(n_runs, oh, ow)``: the device extracts runs on the
+    LANE-ALIGNED padded grid (non-128-multiple crops inside the block
+    fn measured 2.4x slower end-to-end on TPU; the crop is unit-stride
+    host math instead), so when ``(oh, ow) != pad_shape`` the run
+    coordinates are raveled with the padded width and must be rebased
+    here. Legacy ``(n, 0, 0)`` headers mean runs are already in
+    ``pad_shape`` coordinates.
+
+    Returns ``(starts, ends, values, (oh, ow))`` in true-crop raveled
+    coordinates, or ``(None, None, None, (oh, ow))`` when the run
+    budget overflowed (caller pulls the dense map and crops it).
+    """
+    n = int(row[0, 0])
+    oh, ow = int(row[0, 1]), int(row[0, 2])
+    if oh <= 0:
+        oh, ow = int(pad_shape[0]), int(pad_shape[1])
+    if n > row.shape[0] - 1:
+        return None, None, None, (oh, ow)
+    s = row[1:n + 1, 0]
+    e = row[1:n + 1, 1]
+    v = row[1:n + 1, 2]
+    if (oh, ow) != (int(pad_shape[0]), int(pad_shape[1])):
+        wpad = int(pad_shape[1])
+        y, x = np.divmod(s, wpad)
+        length = e - s
+        s = y * ow + x
+        e = s + length
+    return s, e, v, (oh, ow)
 
 
 def runs_to_rle_seg(starts, ends, values, shape, labels, label_divisor,

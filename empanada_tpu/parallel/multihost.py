@@ -51,7 +51,11 @@ def local_rle_shard(engine, vol_view, start, end, *, labels, label_divisor,
     buffers + dense overflow pulls) — both must scale ~1/world for the
     composition to scale (tests/test_parallel.py pins this).
     """
-    from empanada_tpu.inference.rle import pan_seg_to_rle_seg, runs_to_rle_seg
+    from empanada_tpu.inference.rle import (
+        pan_seg_to_rle_seg,
+        runs_to_rle_seg,
+        unpack_packed_runs,
+    )
 
     n = len(vol_view)
     mid = engine.mid
@@ -67,8 +71,7 @@ def local_rle_shard(engine, vol_view, start, end, *, labels, label_divisor,
         arr = np.asarray(packed).reshape(len(z_indices), -1, 3)
         dispatches += 1
         d2h_bytes += arr.nbytes
-        max_runs = arr.shape[1] - 1
-        shape = tuple(pan_block.shape[-2:])
+        pad_shape = tuple(pan_block.shape[-2:])
         pan_host = None
         for j, zl in enumerate(z_indices):
             if zl is None:
@@ -76,17 +79,17 @@ def local_rle_shard(engine, vol_view, start, end, *, labels, label_divisor,
             z = lo + zl
             if not (start <= z < end):
                 continue  # halo emission owned by a neighbor rank
-            n_runs = int(arr[j, 0, 0])
-            if n_runs <= max_runs:
+            starts, ends, values, (oh, ow) = unpack_packed_runs(
+                arr[j], pad_shape)
+            if starts is not None:
                 rle_seg = runs_to_rle_seg(
-                    arr[j, 1:n_runs + 1, 0], arr[j, 1:n_runs + 1, 1],
-                    arr[j, 1:n_runs + 1, 2], shape, labels, label_divisor,
+                    starts, ends, values, (oh, ow), labels, label_divisor,
                     thing_list)
             else:  # run budget overflow: pull the dense map
                 if pan_host is None:
                     pan_host = np.asarray(pan_block)
                     d2h_bytes += pan_host.nbytes
-                rle_seg = pan_seg_to_rle_seg(pan_host[j], labels,
+                rle_seg = pan_seg_to_rle_seg(pan_host[j][:oh, :ow], labels,
                                              label_divisor, thing_list)
             out.append((z, rle_seg))
     if stats is not None:
