@@ -26,14 +26,15 @@ Prints ONE JSON line:
    "vs_baseline": N, ...}
 
 vs_baseline (PRIMARY, measured): ratio to the reference pipeline's
-MEASURED 0.5636 slices/s on this host's CPU (tools/measure_baseline.py
---realistic, 2026-08-17: QuantizablePanopticBiFPNPR fp32 + reference
-engine postprocess on the SAME bench weights and content density, 512²,
-median qlen 3, engine-only — excludes the reference's host matcher and
-consensus cost, i.e. conservative in the reference's favor). The
-breakdown also reports vs_est_gpu, an ESTIMATED ratio to a V100-class
-GPU via a documented 18x factor (BASELINE.md row 2) — an extrapolation,
-labeled as such.
+MEASURED full orthoplane 3D throughput on this host's CPU
+(tools/measure_baseline.py --ortho, 2026-08-19: the reference's own
+engine + matchers + trackers + cross-axis consensus + fill on the SAME
+headline volume, weights, and thresholds — 1.6036 slices/s, recovering
+all 150/150 instances). The breakdown also reports vs_est_gpu, an
+ESTIMATED ratio to a V100-class GPU: the documented 18x CPU->GPU factor
+(BASELINE.md row 2) applied to the reference's measured ENGINE share
+only — its matcher/consensus half is host numpy and does not ride the
+GPU — an extrapolation, labeled as such.
 """
 
 import contextlib
@@ -55,12 +56,48 @@ _nullcontext = contextlib.nullcontext
 REFERENCE_CPU_SLICES_PER_SEC = 0.5636       # --realistic, 2026-08-17
 REFERENCE_CPU_SLICES_PER_SEC_FREE = 0.556   # content-free
 CPU_CORE_TO_GPU_FACTOR = 18.0          # documented estimate, BASELINE.md
+
+# HEADLINE denominator (tools/measure_baseline.py --ortho, 2026-08-19):
+# the reference's FULL orthoplane 3D flow — its own engine, matchers,
+# trackers, cross-axis consensus, volume fill — on bench.py's EXACT
+# headline volume (ortho_volume(): 128x320x320, 150 disjoint instances)
+# and thresholds, single measured run on this host CPU. It recovered
+# all 150/150 instances, so content parity holds in both pipelines.
+REFERENCE_CPU_ORTHO_SLICES_PER_SEC = 1.6036    # 768 slices / 478.9 s
+REFERENCE_CPU_ORTHO_TOTAL_S = 478.9
+# Engine-only cost at the xy slice shape (--ortho-engine, best of 3 =
+# reference-favoring): 0.8307 slices/s -> 1.2038 s/slice at 320^2
+# (padded 384^2). xz/yz slices are 128x320 (padded 128x384) = exactly
+# 1/3 the area. vs_est_gpu applies the 18x CPU->GPU factor ONLY to this
+# engine share; the matcher/tracker/consensus/fill share is host numpy
+# in the reference and does not ride the GPU:
+#   engine_s = 128*1.2038 + 640*(1.2038/3) = 410.9 of the 478.9 s
+#   ref_gpu_est = 768 / (410.9/18 + (478.9-410.9)) = 8.46 slices/s
+_ENG_S = 128 * (1 / 0.8307) + 640 * (1 / 0.8307 / 3)
+REFERENCE_GPU_EST_ORTHO_SLICES_PER_SEC = 768 / (
+    _ENG_S / CPU_CORE_TO_GPU_FACTOR + (REFERENCE_CPU_ORTHO_TOTAL_S
+                                       - _ENG_S))
 N_SLICES = 128
 H = W = 512
 LABEL_DIVISOR = 1000
 # the product's label divisor for the 3D orthoplane headline
 # (reference scripts/pdl_inference3d.py:28-31)
 LABEL_DIVISOR_3D = 20000
+
+
+def ortho_volume():
+    """The orthoplane HEADLINE volume: 128x320x320 with 150 DISJOINT
+    ellipsoid instances (~32 inst/slice in xy, ~12 in xz/yz) — the
+    same volume tools/measure_baseline.py --ortho feeds the reference
+    stack for the like-for-like vs_baseline denominator. Disjoint
+    placement (synthetic.py overlap=False) because the legacy
+    overlapping-overwrite content carves objects into fragments that
+    IoA healing merges in BOTH pipelines — a data artifact, not EM."""
+    from empanada_tpu.data.synthetic import synthetic_em_volume
+
+    vol, _ = synthetic_em_volume((128, 320, 320), n_instances=150,
+                                 seed=11, overlap=False)
+    return vol
 
 
 def build_model():
@@ -233,8 +270,7 @@ def main():
     from empanada_tpu.data.zarr_store import create_zarr
     from empanada_tpu.inference import patterns
 
-    ortho_vol, _ = synthetic_em_volume((128, 320, 320), n_instances=94,
-                                       seed=11)
+    ortho_vol = ortho_volume()
     ortho_kw = dict(
         labels=[1], thing_list=[1], mode="orthoplane", qlen=3,
         label_divisor=LABEL_DIVISOR_3D, seg_thr=0.5, nms_thr=0.1,
@@ -268,8 +304,7 @@ def main():
         "total_seconds": round(ortho_best, 2),
     }
     breakdown["vs_est_gpu"] = round(
-        ortho_slices_per_sec
-        / (REFERENCE_CPU_SLICES_PER_SEC_FREE * CPU_CORE_TO_GPU_FACTOR), 2)
+        ortho_slices_per_sec / REFERENCE_GPU_EST_ORTHO_SLICES_PER_SEC, 2)
 
     engine = engines[best_mode]
     cost = engine.block_cost_analysis()
@@ -310,15 +345,20 @@ def main():
         "metric": "mitonet_orthoplane3d_inference_throughput",
         "value": round(ortho_slices_per_sec, 3),
         "unit": "slices/s",
-        # PRIMARY baseline: the measured reference-on-CPU number
+        # PRIMARY baseline: the reference's FULL orthoplane flow
+        # measured on the SAME volume, weights, and thresholds
         "vs_baseline": round(
-            ortho_slices_per_sec / REFERENCE_CPU_SLICES_PER_SEC, 1),
+            ortho_slices_per_sec / REFERENCE_CPU_ORTHO_SLICES_PER_SEC, 1),
         "baseline_note": "orthoplane 3D end-to-end (3 axes + consensus "
-                         "+ zarr fill, label_divisor 20000) vs MEASURED "
-                         "reference CPU 0.5636 slices/s on the same "
-                         "weights/content density (content-free "
-                         "reference ceiling 0.556); vs_est_gpu in "
-                         "breakdown is the documented 18x extrapolation",
+                         "+ zarr fill, label_divisor 20000) vs the "
+                         "reference's MEASURED full orthoplane flow "
+                         "1.6036 slices/s on the same volume, weights "
+                         "and thresholds (measure_baseline.py --ortho; "
+                         "both pipelines recover 150/150 instances); "
+                         "vs_est_gpu applies the documented 18x "
+                         "CPU->GPU factor to the reference's engine "
+                         "share only (host consensus does not ride "
+                         "the GPU)",
         "breakdown": breakdown,
     }))
 

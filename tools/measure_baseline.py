@@ -12,6 +12,15 @@ extrapolation chain.
 
 Run: python tools/measure_baseline.py [n_slices]
      python tools/measure_baseline.py [n_slices] --realistic
+     python tools/measure_baseline.py --ortho
+
+--ortho: the like-for-like denominator for bench.py's orthoplane
+HEADLINE — the reference's FULL orthoplane 3D flow (3 axes through its
+own engine + matchers + trackers + cross-axis consensus + volume fill,
+tools/reference_pipeline.py replaying scripts/pdl_inference3d.py:91-240)
+with the realistic bench weights on bench.py's exact orthoplane volume
+and thresholds. This includes the reference's host matcher/consensus
+cost, unlike --realistic which is engine-only (conservative).
 
 --realistic (round-2 VERDICT weak #5): instead of the content-free
 negative-bias heads, load the SAME ridge-fitted bench weights bench.py
@@ -62,7 +71,97 @@ def _load_bench_weights(model):
     model.load_state_dict(sd, strict=True)
 
 
+def run_ortho():
+    """Reference orthoplane 3D end-to-end on bench.py's exact headline
+    volume + thresholds (see module docstring)."""
+    from bench import LABEL_DIVISOR_3D, ortho_volume
+
+    from tools.reference_pipeline import (
+        fill_reference_consensus,
+        run_reference_inference3d,
+    )
+
+    model = QuantizablePanopticBiFPNPR(
+        encoder="regnety_6p4gf", num_classes=1, quantize=False)
+    model.eval()
+    _load_bench_weights(model)
+
+    vol = ortho_volume()
+    n_slices = sum(vol.shape)
+
+    t0 = time.perf_counter()
+    consensus = run_reference_inference3d(
+        model, vol, labels=[1], thing_list=[1], mode="orthoplane",
+        qlen=3, label_divisor=LABEL_DIVISOR_3D, seg_thr=0.5, nms_thr=0.1,
+        nms_kernel=3, iou_thr=0.25, ioa_thr=0.25, pixel_vote_thr=2,
+        cluster_iou_thr=0.75, min_size=200, min_span=2,
+        padding_factor=128, norms={"mean": 0.57, "std": 0.12},
+        progress=True)
+    fill_reference_consensus(consensus[1], vol.shape)
+    elapsed = time.perf_counter() - t0
+
+    print(json.dumps({
+        "metric": "reference_cpu_orthoplane3d_throughput",
+        "value": round(n_slices / elapsed, 4),
+        "unit": "slices/s",
+        "n_slices": n_slices,
+        "volume": list(vol.shape),
+        "instances_3d": len(consensus[1].instances),
+        "total_seconds": round(elapsed, 1),
+        "torch_threads": torch.get_num_threads(),
+        "host_cpus": __import__("os").cpu_count(),
+    }))
+
+
+def run_ortho_engine(n_slices=48):
+    """Engine-only per-slice cost at the ortho slice shape (xy slices of
+    the headline volume): the GPU-accelerable share of the reference's
+    orthoplane flow. vs_est_gpu divides ONLY this share by the CPU->GPU
+    factor; matcher/tracker/consensus stay host-side numpy either way."""
+    from bench import ortho_volume
+
+    model = QuantizablePanopticBiFPNPR(
+        encoder="regnety_6p4gf", num_classes=1, quantize=False)
+    model.eval()
+    _load_bench_weights(model)
+
+    engine = PanopticDeepLabRenderEngine3d(
+        model, thing_list=[1], label_divisor=20000, stuff_area=64,
+        median_kernel_size=3, nms_kernel=3, padding_factor=128,
+        coarse_boundaries=True)
+
+    vol = ortho_volume()
+    H, W = vol.shape[1:]
+    sl = ((vol[:n_slices].astype(np.float32) / 255.0 - 0.57) / 0.12)
+    engine(torch.from_numpy(sl[0])[None, None], (H, W))  # warmup
+
+    t0 = time.perf_counter()
+    count = 0
+    for z in range(n_slices):
+        pan = engine(torch.from_numpy(sl[z])[None, None], (H, W))
+        count += pan is not None
+    for pan in engine.end():
+        count += 1
+    elapsed = time.perf_counter() - t0
+    assert count == n_slices
+
+    print(json.dumps({
+        "metric": "reference_cpu_ortho_engine_only_throughput",
+        "value": round(n_slices / elapsed, 4),
+        "unit": "slices/s",
+        "n_slices": n_slices,
+        "slice_shape": [int(H), int(W)],
+        "torch_threads": torch.get_num_threads(),
+    }))
+
+
 def main():
+    if "--ortho" in sys.argv:
+        run_ortho()
+        return
+    if "--ortho-engine" in sys.argv:
+        run_ortho_engine()
+        return
     args = [a for a in sys.argv[1:] if not a.startswith("-")]
     realistic = "--realistic" in sys.argv
     n_slices = int(args[0]) if args else 6
