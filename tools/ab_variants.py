@@ -104,10 +104,28 @@ def main():
         "s2d+exact": ({"EMPANADA_S2D_STEM": "1",
                        "EMPANADA_APPROX_TOPK": "0"}, {}, "stream"),
         "resident1": ({}, {"scan_blocks": 1}, "resident"),
+        # packed-run D2H grouped 4 blocks/transfer: answers whether the
+        # tunnel serializes the already-async per-block copies (if so,
+        # grouping divides the op count and wins in high-latency weather)
+        "d2h4": ({}, {"d2h_group": 4}, "stream"),
         "int8": ({}, {}, "stream"),
         "int8_enc": ({}, {}, "stream"),
     }
     gate_vars = ("EMPANADA_S2D_STEM", "EMPANADA_APPROX_TOPK")
+
+    # EMPANADA_AB_VARIANTS=baseline,sentinel,s2d_stem runs a focused
+    # subset — long sentinel-calibrated sessions on one question need
+    # many reps, and skipping the other variants keeps every rep inside
+    # the same weather window
+    subset = os.environ.get("EMPANADA_AB_VARIANTS")
+    if subset:
+        keep = [v.strip() for v in subset.split(",") if v.strip()]
+        unknown = sorted(set(keep) - set(variants))
+        if unknown:
+            raise SystemExit(f"unknown variants: {unknown}")
+        if "baseline" not in keep:
+            keep.insert(0, "baseline")
+        variants = {k: variants[k] for k in keep}
 
     engines = {}
     for name, (env, kw, _mode) in variants.items():

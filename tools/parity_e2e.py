@@ -250,6 +250,73 @@ def score(pred, gt, label_divisor=1000):
     return pq, f1
 
 
+def instance_parity(a, b):
+    """Greedy one-to-one instance matching between two labelmaps.
+
+    Returns ``(matched_ious, n_a, n_b)``: IoUs of the matched pairs in
+    descending order plus the instance counts. This is the DIRECT
+    pipeline-vs-pipeline parity measure: it has no matching threshold,
+    so it cannot knife-edge (see ``margin_threshold``). At IoU > 0.5
+    greedy matching coincides with the unique matching PQ/F1 use."""
+    a = np.asarray(a).ravel()
+    b = np.asarray(b).ravel()
+    a_ids, a_inv = np.unique(a, return_inverse=True)
+    b_ids, b_inv = np.unique(b, return_inverse=True)
+    n_a, n_b = len(a_ids), len(b_ids)
+    cont = np.bincount(a_inv * n_b + b_inv,
+                       minlength=n_a * n_b).reshape(n_a, n_b).astype(float)
+    area_a = cont.sum(1)
+    area_b = cont.sum(0)
+    union = area_a[:, None] + area_b[None, :] - cont
+    iou = np.where(union > 0, cont / np.maximum(union, 1), 0.0)
+    keep_a = a_ids != 0
+    keep_b = b_ids != 0
+    m = iou[keep_a][:, keep_b].copy()
+    matched = []
+    while m.size and m.max() > 0:
+        i, j = np.unravel_index(int(np.argmax(m)), m.shape)
+        matched.append(float(m[i, j]))
+        m[i, :] = -1.0
+        m[:, j] = -1.0
+    return matched, int(keep_a.sum()), int(keep_b.sum())
+
+
+def score_at(pred, gt, thr):
+    """PQ and F1 with an explicit matching threshold ``thr``.
+
+    Matches greedily one-to-one by IoU (identical to the standard
+    unique matching for thr >= 0.5); TP = matched pairs with IoU > thr.
+    PQ = sum(TP IoU) / (TP + FP/2 + FN/2), F1 = TP / (TP + (FP+FN)/2)."""
+    ious, n_pred, n_gt = instance_parity(pred, gt)
+    tp = [x for x in ious if x > thr]
+    fp = n_pred - len(tp)
+    fn = n_gt - len(tp)
+    pq = sum(tp) / max(len(tp) + fp / 2 + fn / 2, 1e-9)
+    f1 = len(tp) / max(len(tp) + (fp + fn) / 2, 1e-9)
+    return pq, f1
+
+
+def margin_threshold(pred_a, pred_b, gt,
+                     candidates=(0.35, 0.4, 0.45, 0.5, 0.55, 0.6, 0.65)):
+    """Pick the matching threshold farthest from every instance's IoU.
+
+    PQ/F1-vs-GT deltas between two near-identical pipelines are
+    knife-edge-unstable when some instance's best GT IoU sits AT the
+    matching threshold: a measured case had the reference at 0.5022 and
+    the TPU pipeline at 0.4996 on the same instance (pipeline-vs-
+    pipeline instance IoU 0.993), which flipped F1@0.5 by 0.25 while
+    both pipelines genuinely agreed. Scoring both pipelines at the
+    candidate threshold with the largest margin to EVERY matched IoU in
+    either pipeline makes the match sets threshold-stable, so the delta
+    measures pixel-level agreement rather than threshold luck."""
+    ious = []
+    for p in (pred_a, pred_b):
+        matched, _, _ = instance_parity(p, gt)
+        ious += matched
+    return max(candidates,
+               key=lambda t: min((abs(x - t) for x in ious), default=1.0))
+
+
 def main():
     from empanada_tpu.cli.infer3d import run_inference3d
     from empanada_tpu.inference.patterns import fill_volume
@@ -296,6 +363,12 @@ def main():
         # score-level): symmetric best-IoU of binary foreground
         inter = np.logical_and(ref_pred > 0, tpu_pred > 0).sum()
         union = np.logical_or(ref_pred > 0, tpu_pred > 0).sum()
+        # direct instance-level parity + knife-edge-stable score deltas
+        # (see margin_threshold): these are what the e2e test asserts
+        matched, n_ref, n_tpu = instance_parity(ref_pred, tpu_pred)
+        thr = margin_threshold(ref_pred, tpu_pred, gt)
+        ref_pq_t, ref_f1_t = score_at(ref_pred, gt, thr)
+        tpu_pq_t, tpu_f1_t = score_at(tpu_pred, gt, thr)
         report[mode] = {
             "reference": {"pq": round(ref_pq, 4), "f1": round(ref_f1, 4),
                           "instances": len(ref_cons[1].instances)},
@@ -304,10 +377,17 @@ def main():
                              "instances": len(tpu_cons[1].instances)},
             "pq_delta": round(tpu_pq - ref_pq, 4),
             "f1_delta": round(tpu_f1 - ref_f1, 4),
+            "margin_thr": thr,
+            "pq_delta_at_margin": round(tpu_pq_t - ref_pq_t, 4),
+            "f1_delta_at_margin": round(tpu_f1_t - ref_f1_t, 4),
+            "direct_min_instance_iou": round(min(matched), 4)
+            if matched and n_ref == n_tpu == len(matched) else 0.0,
             "foreground_iou": round(float(inter) / max(float(union), 1), 4),
         }
         print(f"[{mode}] ref PQ={ref_pq:.4f} F1={ref_f1:.4f} | "
               f"tpu PQ={tpu_pq:.4f} F1={tpu_f1:.4f} | "
+              f"dPQ@t{thr:.2f}={report[mode]['pq_delta_at_margin']:+.4f} | "
+              f"min inst IoU={report[mode]['direct_min_instance_iou']:.4f} | "
               f"fg IoU={report[mode]['foreground_iou']:.4f}")
 
     print(json.dumps({"metric": "e2e_accuracy_parity", **report}))
