@@ -280,7 +280,7 @@ def main():
         norms={"mean": 0.57, "std": 0.12}, progress=False)
     run_inference3d((model, variables), ortho_vol, **ortho_kw)  # warmup
     n_ortho_slices = sum(ortho_vol.shape)
-    ortho_best = float("inf")
+    ortho_reps = []
     for _ in range(2):
         ortho_stats = {}
         t0 = time.perf_counter()
@@ -289,7 +289,10 @@ def main():
         out = create_zarr("/tmp/bench_ortho_seg.zarr", ortho_vol.shape,
                           dtype=np.uint32, overwrite=True)
         patterns.fill_volume(out, consensus[1].instances, processes=4)
-        ortho_best = min(ortho_best, time.perf_counter() - t0)
+        ortho_reps.append(
+            (time.perf_counter() - t0, ortho_stats, consensus))
+    # keep stats/instance counts from the SAME rep as the reported time
+    ortho_best, ortho_stats, consensus = min(ortho_reps, key=lambda r: r[0])
     ortho_slices_per_sec = n_ortho_slices / ortho_best
     breakdown["orthoplane"] = {
         "volume": list(ortho_vol.shape),

@@ -294,6 +294,12 @@ def box_overlap_pairs(boxes_a, boxes_b=None):
     lib = get_lib()
     if lib is None or not hasattr(lib, "etpu_box_overlap_pairs"):
         return None
+    # int64-only: _c64 would TRUNCATE float box coordinates, silently
+    # dropping thin overlaps — float boxes take the exact numpy path
+    if not (np.issubdtype(np.asarray(boxes_a).dtype, np.integer)
+            and (boxes_b is None
+                 or np.issubdtype(np.asarray(boxes_b).dtype, np.integer))):
+        return None
     a = _c64(boxes_a)
     b = a if boxes_b is None else _c64(boxes_b)
     ndim = a.shape[1] // 2

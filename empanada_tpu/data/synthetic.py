@@ -99,11 +99,24 @@ def _grid_placements(rng, shape, n_instances, radius):
     for idx in order:
         cz, cy, cx = cells[idx]
         los = [cz * sizes[0], cy * sizes[1], cx * sizes[2]]
-        r = [rng.uniform(min(radius[0], sizes[j] / 2 - 1.5),
-                         min(radius[1], sizes[j] / 2 - 1.0))
-             for j in range(3)]
-        c = [rng.uniform(los[j] + r[j] + 0.5,
-                         los[j] + sizes[j] - r[j] - 0.5)
-             for j in range(3)]
+        # floor the radius at 0.9 px (> sqrt(3)/2, so the nearest integer
+        # voxel is always strictly inside the ellipsoid and every placement
+        # paints >=1 voxel — tiny cells used to draw negative/sub-voxel
+        # radii and silently drop instances), and cap it under the
+        # half-cell so adjacent cells' balls stay disjoint
+        r = []
+        for j in range(3):
+            hi_r = min(max(min(radius[1], sizes[j] / 2 - 1.0), 0.95),
+                       sizes[j] / 2 - 0.05)
+            lo_r = min(max(min(radius[0], sizes[j] / 2 - 1.5), 0.9), hi_r)
+            r.append(rng.uniform(lo_r, hi_r))
+        c = []
+        for j in range(3):
+            lo_c = los[j] + r[j] + 0.5
+            hi_c = los[j] + sizes[j] - r[j] - 0.5
+            # margin can invert when the ball nearly fills the cell:
+            # pin the center mid-cell instead of sampling a reversed range
+            c.append(rng.uniform(lo_c, hi_c) if hi_c > lo_c
+                     else los[j] + sizes[j] / 2)
         out.append((c, r))
     return out

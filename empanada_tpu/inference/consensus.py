@@ -177,14 +177,6 @@ def _object_iou_graph(source_indices, object_boxes, object_starts,
     return graph
 
 
-def _average_edge(G, cluster1, cluster2, key):
-    weights = []
-    for n1 in cluster1:
-        for n2 in cluster2:
-            weights.append(G.edge(n1, n2)[key] if G.has_edge(n1, n2) else 0)
-    return sum(weights) / len(weights)
-
-
 def _create_graph_of_clusters(G, cluster_iou_thr):
     """Group nodes connected by edges with IoU > cluster_iou_thr
     (reference consensus.py:35-74)."""

@@ -13,7 +13,7 @@ from scipy.optimize import linear_sum_assignment
 
 from empanada_tpu.core.boxes import box_iou_pairs
 from empanada_tpu.core.rle import rle_pairwise_intersections
-from empanada_tpu.inference.rle import unpack_rle_attrs
+from empanada_tpu.inference.rle import get_canon, unpack_rle_attrs
 
 __all__ = ["rle_matcher", "RLEMatcher", "merge_attrs", "merge_attrs_many",
            "fast_matcher"]
@@ -25,7 +25,7 @@ def merge_attrs(rle_attr1, rle_attr2):
 
 
 def _canon_sr(attrs):
-    c = attrs.get("_canon")
+    c = get_canon(attrs)
     return (c[0], c[1]) if c else (attrs["starts"], attrs["runs"])
 
 
@@ -37,7 +37,7 @@ def merge_attrs_many(attrs_list):
     if len(attrs_list) == 1:
         return attrs_list[0]
     pairs = [_canon_sr(a) for a in attrs_list]
-    starts, runs = _union_sr_many(pairs, [a.get("_canon") is not None
+    starts, runs = _union_sr_many(pairs, [get_canon(a) is not None
                                           for a in attrs_list])
     boxes = np.asarray([a["box"] for a in attrs_list], dtype=np.int64)
     nd = boxes.shape[1] // 2
@@ -48,7 +48,7 @@ def merge_attrs_many(attrs_list):
         "starts": starts,
         "runs": runs,
         # every union path emits canonical output
-        "_canon": (starts, runs, int(np.sum(runs))),
+        "_canon": (starts, runs, int(np.sum(runs)), starts),
     }
 
 
@@ -66,7 +66,7 @@ def merge_attrs_batch(groups_lists):
         for a in lst:
             s, r = _canon_sr(a)
             arrs.append((np.asarray(s, np.int64), np.asarray(r, np.int64)))
-            flags.append(a.get("_canon") is not None)
+            flags.append(get_canon(a) is not None)
             lens.append(len(arrs[-1][0]))
     ok = all(
         flag or len(s) < 2 or bool(np.all(s[1:] >= s[:-1] + r[:-1]))
@@ -102,7 +102,7 @@ def merge_attrs_batch(groups_lists):
                                                         for v in hi[i]),
             "starts": s,
             "runs": r,
-            "_canon": (s, r, int(np.sum(r))),
+            "_canon": (s, r, int(np.sum(r)), s),
         })
     return merged
 

@@ -101,8 +101,9 @@ def runs_to_rle_seg(starts, ends, values, shape, labels, label_divisor,
             lab: {"box": p["box"], "starts": p["starts"],
                   "runs": p["runs"],
                   # region props emit canonical RLEs with known areas:
-                  # pre-seed the matcher's unpack memo (unpack_rle_attrs)
-                  "_canon": (p["starts"], p["runs"], int(p["area"]))}
+                  # pre-seed the matcher's unpack memo (get_canon)
+                  "_canon": (p["starts"], p["runs"], int(p["area"]),
+                             p["starts"])}
             for lab, p in props.items()
         }
     return rle_seg
@@ -127,6 +128,21 @@ def rle_seg_to_pan_seg(rle_seg, shape):
     return pan.reshape(shape)
 
 
+def get_canon(attrs):
+    """Return the valid ``_canon`` memo of an attrs dict, or None.
+
+    The memo is a 4-tuple ``(canon_starts, canon_runs, area, src)``
+    where ``src`` is the ``starts`` object the memo was computed from:
+    a memo is valid only while ``attrs['starts']`` is still that object,
+    so any code that REBINDS starts (e.g. Tiler.translate_rle_seg's
+    frame shift) automatically invalidates it. Code must rebind, never
+    mutate starts/runs arrays in place."""
+    c = attrs.get("_canon")
+    if c is not None and len(c) == 4 and c[3] is attrs.get("starts"):
+        return c
+    return None
+
+
 def unpack_rle_attrs(instance_rle_seg, return_areas=False):
     """Dict of instances -> (labels, boxes, starts list, runs list
     [, areas float64]).
@@ -134,22 +150,25 @@ def unpack_rle_attrs(instance_rle_seg, return_areas=False):
     Canonicalizes each RLE on the way in: JSONs written by the reference
     ecosystem (its tracker.finish() emits unsorted runs) must not
     silently break sorted-merge IoU math downstream. The canonical form
-    (and area) is memoized on the attrs dict under the private ``_canon``
-    key — the stateful matcher re-unpacks the same target instances every
-    slice, and at product density (100+ instances/slice) the repeated
-    canonicality checks and area sums were a top-3 host cost."""
+    (and area) is memoized ON the attrs dict under the private ``_canon``
+    key (a deliberate side effect on caller-owned dicts; framework JSON
+    writers serialize explicit keys so it never leaks to disk) — the
+    stateful matcher re-unpacks the same target instances every slice,
+    and at product density (100+ instances/slice) the repeated
+    canonicality checks and area sums were a top-3 host cost. Validity
+    is keyed on the identity of ``attrs['starts']`` (see get_canon)."""
     labels, boxes, starts, runs, areas = [], [], [], [], []
     for label, attrs in instance_rle_seg.items():
         labels.append(int(label))
         boxes.append(attrs["box"])
-        cached = attrs.get("_canon")
+        cached = get_canon(attrs)
         if cached is None:
             if "rle" in attrs:
                 s, r = string_to_rle(attrs["rle"])
             else:
                 s, r = attrs["starts"], attrs["runs"]
             s, r = canonicalize_rle(s, r)
-            cached = (s, r, int(np.sum(r)))
+            cached = (s, r, int(np.sum(r)), attrs.get("starts"))
             attrs["_canon"] = cached
         starts.append(cached[0])
         runs.append(cached[1])

@@ -122,6 +122,11 @@ class Tiler:
                 label_attrs["starts"] = np.ravel_multi_index(
                     (starts // w + ys, starts % w + xs),
                     dims=self.image_shape)
+                # the canonical-form memo was computed in the tile
+                # frame; rebinding starts invalidates it (get_canon
+                # checks identity), drop it so nothing ever reads the
+                # tile-frame coordinates
+                label_attrs.pop("_canon", None)
         return rle_seg
 
     def __call__(self, image, tile_index):

@@ -151,8 +151,13 @@ class InstanceTracker:
             def _sorted(a):
                 return len(a) < 2 or bool(np.all(a[1:] >= a[:-1]))
 
+            # the reversed probe can only succeed when the slice index is
+            # the high raveling digit (xy axis); probing it on xz/yz just
+            # buys an extra O(n) concat per instance on the product path
+            probes = ((slice(None, None, -1), slice(None))
+                      if self.axis == "xy" else (slice(None),))
             order_used = None
-            for sl in (slice(None, None, -1), slice(None)):
+            for sl in probes:
                 starts = np.concatenate(attrs["starts"][sl])
                 if _sorted(starts):
                     order_used = sl
@@ -166,8 +171,9 @@ class InstanceTracker:
                 if order_used is not None:
                     runs = np.concatenate(attrs["runs"][order_used])
                 else:
+                    # `starts` already holds the forward concatenation
+                    # from the loop's final probe — don't rebuild it
                     runs = np.concatenate(attrs["runs"])
-                    starts = np.concatenate(attrs["starts"])
                     order = np.argsort(starts, kind="stable")
                     starts, runs = starts[order], runs[order]
             attrs["starts"] = starts

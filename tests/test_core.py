@@ -366,7 +366,7 @@ def test_kway_union_batch_matches_per_group():
             r = np.asarray(r, np.int64)
             lst.append({"box": (int(idx.min()), 0, int(idx.max()) + 1, 1),
                         "starts": s, "runs": r,
-                        "_canon": (s, r, int(r.sum()))})
+                        "_canon": (s, r, int(r.sum()), s)})
         groups.append(lst)
     got = merge_attrs_batch(groups)
     for g, lst in zip(got, groups):
