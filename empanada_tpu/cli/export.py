@@ -53,8 +53,11 @@ def main(argv=None):
             padding_factor=args.pf,
             thing_list=config["DATASET"]["thing_list"],
             labels=config["DATASET"]["labels"],
-            class_names=config["DATASET"].get("class_names"))
-        print(f"Imported torch artifact -> {args.save_dir}/{name}.yaml")
+            class_names=config["DATASET"].get("class_names"),
+            stablehlo=args.stablehlo,
+            quantize=args.quantize)
+        print(f"Imported torch artifact -> {args.save_dir}/{name}.yaml "
+              f"({', '.join(k for k in desc if k.startswith('model'))})")
         return
 
     state, meta = load_checkpoint(args.checkpoint)

@@ -112,6 +112,13 @@ def _kway_vote_fast(list_of_ranges, thr):
     """Native one-pass k-way coverage vote when every input is canonical
     (start-sorted AND disjoint — instance RLEs by construction); None
     when an input fails the check or the library is absent."""
+    lib = native.get_lib()
+    if lib is None or not hasattr(lib, "etpu_kway_vote"):
+        # bail before the canonicality scans + concatenate: without the
+        # library the caller repeats that packing work in its own
+        # concat-sort fallback, so doing it here would just double the
+        # cost on exactly the hosts with the slowest path
+        return None
     cleaned = []
     for r in list_of_ranges:
         r = np.asarray(r, dtype=np.int64).reshape(-1, 2)

@@ -59,27 +59,22 @@ def merge_attrs_batch(groups_lists):
     that when an input is non-canonical or the library is absent."""
     from empanada_tpu.core import native
 
-    arrs, flags = [], []
-    lens, group_sizes = [], []
+    arrs, flags, group_sizes = [], [], []
     for lst in groups_lists:
         group_sizes.append(len(lst))
         for a in lst:
             s, r = _canon_sr(a)
             arrs.append((np.asarray(s, np.int64), np.asarray(r, np.int64)))
             flags.append(get_canon(a) is not None)
-            lens.append(len(arrs[-1][0]))
-    ok = all(
-        flag or len(s) < 2 or bool(np.all(s[1:] >= s[:-1] + r[:-1]))
-        for (s, r), flag in zip(arrs, flags))
     out = None
-    if ok and len(arrs) > 1:
-        offs = np.zeros(len(arrs) + 1, dtype=np.int64)
-        offs[1:] = np.cumsum(lens)
+    lib = native.get_lib()
+    packed = (_pack_canonical(arrs, flags)
+              if len(arrs) > 1 and hasattr(lib, "etpu_kway_union_batch")
+              else None)
+    if packed is not None:
         group_offs = np.zeros(len(groups_lists) + 1, dtype=np.int64)
         group_offs[1:] = np.cumsum(group_sizes)
-        out = native.kway_union_batch(
-            np.concatenate([s for s, _ in arrs]),
-            np.concatenate([r for _, r in arrs]), offs, group_offs)
+        out = native.kway_union_batch(*packed, group_offs)
     if out is None:
         return [merge_attrs_many(lst) for lst in groups_lists]
     out_s, out_r, out_offs = out
@@ -107,6 +102,26 @@ def merge_attrs_batch(groups_lists):
     return merged
 
 
+def _pack_canonical(arrs, canon_flags):
+    """Flat-pack k (starts, runs) int64 pairs for the native k-way
+    union kernels: (s_cat, r_cat, offs), or None when any input fails
+    the canonicality check (start-sorted AND disjoint; skipped for
+    inputs pre-flagged canonical via ``_canon``). The single shared
+    definition of the canonical-RLE predicate for both union paths."""
+    ok = all(
+        flag or len(s) < 2 or bool(np.all(s[1:] >= s[:-1] + r[:-1]))
+        for (s, r), flag in zip(arrs, canon_flags))
+    if not ok:
+        return None
+    offs = np.zeros(len(arrs) + 1, dtype=np.int64)
+    offs[1:] = np.cumsum([len(s) for s, _ in arrs])
+    s_cat = (np.concatenate([s for s, _ in arrs])
+             if len(arrs) > 1 else arrs[0][0])
+    r_cat = (np.concatenate([r for _, r in arrs])
+             if len(arrs) > 1 else arrs[0][1])
+    return s_cat, r_cat, offs
+
+
 def _union_sr_many(pairs, canon_flags):
     """Union of k (starts, runs) RLEs -> canonical (starts, runs).
 
@@ -117,18 +132,11 @@ def _union_sr_many(pairs, canon_flags):
 
     arrs = [(np.asarray(s, np.int64), np.asarray(r, np.int64))
             for s, r in pairs]
-    ok = all(
-        flag or len(s) < 2 or bool(np.all(s[1:] >= s[:-1] + r[:-1]))
-        for (s, r), flag in zip(arrs, canon_flags))
-    if ok:
-        lens = [len(s) for s, _ in arrs]
-        offs = np.zeros(len(arrs) + 1, dtype=np.int64)
-        offs[1:] = np.cumsum(lens)
-        s_cat = (np.concatenate([s for s, _ in arrs])
-                 if len(arrs) > 1 else arrs[0][0])
-        r_cat = (np.concatenate([r for _, r in arrs])
-                 if len(arrs) > 1 else arrs[0][1])
-        out = native.kway_union_sr(s_cat, r_cat, offs)
+    packed = (_pack_canonical(arrs, canon_flags)
+              if hasattr(native.get_lib(), "etpu_kway_union_sr")
+              else None)
+    if packed is not None:
+        out = native.kway_union_sr(*packed)
         if out is not None:
             return out
     from empanada_tpu.core.ranges import join_ranges, ranges_to_rle

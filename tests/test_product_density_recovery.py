@@ -60,6 +60,16 @@ def test_disjoint_placement_is_disjoint_and_dense():
     assert np.mean(per) > 15  # dense per-slice content
 
 
+def test_tiny_cells_still_paint_every_instance():
+    """Extreme density (grid cells under ~4 px): the radius floor must
+    keep every placement at least one voxel — sub-voxel/negative radii
+    used to silently drop ~half the requested instances."""
+    _, gt = synthetic_em_volume((32, 32, 32), n_instances=600, seed=3,
+                                overlap=False)
+    labels = np.unique(gt)
+    assert len(labels[labels > 0]) == 600
+
+
 def test_full_recovery_at_product_density():
     """Every disjoint GT object above the size/span filters survives
     matching + tracking + 3-axis consensus, one-to-one."""

@@ -152,6 +152,30 @@ def test_torchscript_converts_like_eager(scripted_artifact):
                                   np.asarray(fb[key])), key
 
 
+def test_cli_from_torch_honors_export_flags(scripted_artifact, tmp_path):
+    """`empanada-export --from-torch --quantize` must write the int8
+    artifact — the import path used to return before applying the
+    export flags, silently producing only the fp32 descriptor."""
+    import yaml
+
+    from empanada_tpu.cli.export import main as export_main
+
+    path, _tmodel = scripted_artifact
+    cfg = {
+        "MODEL": {"arch": "PanopticBiFPNPR", "encoder": "regnety_200mf",
+                  "num_classes": 1, "fpn_dim": 96, "fpn_layers": 2},
+        "DATASET": {"labels": [1], "thing_list": [1],
+                    "norms": {"mean": 0.5, "std": 0.25}},
+    }
+    cfg_path = tmp_path / "mini.yaml"
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    export_main([str(cfg_path), path, str(tmp_path / "out"),
+                 "-name", "mini", "--from-torch", "--quantize"])
+    assert os.path.exists(tmp_path / "out" / "mini.int8.msgpack")
+
+
 @pytest.mark.slow
 def test_torchscript_artifact_runs_e2e_inference(scripted_artifact,
                                                  tmp_path):
