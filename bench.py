@@ -329,9 +329,12 @@ def main():
                   "max_centers": 512}
         # warmup: the auto-scaled 512^2 block shape compiles fresh here
         # (the stack/ortho sections above traced different block/center
-        # budgets); like the headline, compile is excluded from timing
+        # budgets); like the headline, compile is excluded from timing.
+        # A 16-slice stack pass traces the same block fn every axis of
+        # the cube uses (tools/probe_product_scale.py's technique)
         t0 = time.perf_counter()
-        run_inference3d((model, variables), big_vol, **big_kw)
+        run_inference3d((model, variables), big_vol[:16],
+                        **{**big_kw, "mode": "stack"})
         big_warm_elapsed = time.perf_counter() - t0
         big_stats = {}
         t0 = time.perf_counter()
