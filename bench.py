@@ -265,7 +265,9 @@ def main():
 
     # HEADLINE: full orthoplane product flow — 3 axes + backward matching
     # + consensus at the product's label_divisor + chunked zarr fill
-    # (reference pdl_inference3d.py:91-240). Best of 2 timed passes.
+    # (reference pdl_inference3d.py:91-240). Best of 3 timed passes —
+    # the shared tunnel's weather varies ~2x by hour (docs/performance.md)
+    # and min-of-3 keeps the captured artifact from sampling one bad rep.
     from empanada_tpu.cli.infer3d import run_inference3d
     from empanada_tpu.data.zarr_store import create_zarr
     from empanada_tpu.inference import patterns
@@ -281,7 +283,7 @@ def main():
     run_inference3d((model, variables), ortho_vol, **ortho_kw)  # warmup
     n_ortho_slices = sum(ortho_vol.shape)
     ortho_reps = []
-    for _ in range(2):
+    for _ in range(3):
         ortho_stats = {}
         t0 = time.perf_counter()
         consensus = run_inference3d((model, variables), ortho_vol,
