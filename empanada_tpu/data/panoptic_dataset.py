@@ -17,11 +17,12 @@ class PanopticDataset(BaseDataset):
     def __init__(self, data_dir, labels, thing_list, label_divisor,
                  transforms=None, heatmap_sigma=6, weight_gamma=0.3):
         super().__init__(data_dir, transforms, weight_gamma)
-        assert len(labels) > 1, (
-            "Must be more than 1 label class! "
-            "Use SingleClassInstanceDataset instead.")
-        assert all(l > 0 for l in labels), \
-            "Labels must be positive non-zero integers!"
+        if len(labels) <= 1:
+            raise ValueError(
+                "PanopticDataset needs at least two label classes; for a "
+                "single instance class use SingleClassInstanceDataset.")
+        if any(l <= 0 for l in labels):
+            raise ValueError("label class ids must be strictly positive ints")
         self.labels = labels
         self.thing_list = thing_list
         self.label_divisor = label_divisor
@@ -35,14 +36,13 @@ class PanopticDataset(BaseDataset):
             output = {"image": image, "mask": mask}
 
         mask = output["mask"]
-        thing_seg = np.zeros_like(mask)
-        sem_seg = np.zeros_like(mask)
-        for class_id in self.labels:
-            min_id = class_id * self.label_divisor
-            inside = (mask >= min_id) & (mask < min_id + self.label_divisor)
-            sem_seg[inside] = class_id
-            if class_id in self.thing_list:
-                thing_seg[inside] = mask[inside]
+        # Vectorized label_divisor decode: the class id is the quotient, and
+        # only pixels whose quotient is a known class count as labeled.
+        class_of = mask // self.label_divisor
+        known = np.isin(class_of, self.labels)
+        sem_seg = np.where(known, class_of, 0).astype(mask.dtype)
+        is_thing = known & np.isin(class_of, self.thing_list)
+        thing_seg = np.where(is_thing, mask, 0)
 
         heatmap, offsets = heatmap_and_offsets(thing_seg, self.heatmap_sigma)
         output["sem"] = sem_seg.astype(np.int32)
