@@ -214,6 +214,130 @@ def export_to_reference_torch(variables):
     return tmodel
 
 
+REF_DATA = "/root/reference/tests/test_data"
+REAL_CACHE = "/tmp/parity_realnet.msgpack"
+
+
+def real_em_fixture():
+    """Load the reference's real EM micrograph + panoptic mask fixture
+    (reference tests/test_data/panoptic/dataset1, used by reference
+    tests/test_data_post.py:13-69). Returns (image uint8 HxW, mask int
+    HxW with label_divisor-1000 panoptic encoding)."""
+    import cv2
+
+    img = cv2.imread(
+        os.path.join(REF_DATA, "panoptic/dataset1/images/pan_seg.tiff"),
+        cv2.IMREAD_GRAYSCALE)
+    msk = cv2.imread(
+        os.path.join(REF_DATA, "panoptic/dataset1/masks/pan_seg.tiff"),
+        cv2.IMREAD_UNCHANGED)
+    assert img is not None and msk is not None, REF_DATA
+    return img, msk.astype(np.int64)
+
+
+def real_em_instance_pair():
+    """(image, instance mask 1..n) of the fixture's thing class (2)."""
+    img, msk = real_em_fixture()
+    ins = np.where(msk // 1000 == 2, msk - 2000, 0)
+    return img, ins.astype(np.uint16)
+
+
+def real_em_norms():
+    img, _ = real_em_fixture()
+    return {"mean": float(img.mean() / 255.0),
+            "std": float(img.std() / 255.0)}
+
+
+def train_real_em_model(epochs=16, n_crops=64, crop=64):
+    """Train (or load from cache) the single-class segmenter on crops of
+    the REAL EM micrograph; returns (module, variables). Same model
+    config as the blob parity net so the torch converter applies."""
+    from flax import serialization
+
+    from empanada_tpu.models import create_model
+
+    module = create_model(**MODEL_CFG)
+    if os.path.exists(REAL_CACHE):
+        x = np.zeros((1, crop, crop, 1), np.float32)
+        variables = module.init(
+            {"params": jax.random.key(0), "points": jax.random.key(1),
+             "dropout": jax.random.key(2)}, x, train=False)
+        with open(REAL_CACHE, "rb") as f:
+            variables = serialization.from_bytes(
+                {"params": variables["params"],
+                 "batch_stats": variables["batch_stats"]}, f.read())
+        print(f"loaded cached model from {REAL_CACHE}")
+        return module, dict(variables)
+
+    import cv2
+
+    img, ins = real_em_instance_pair()
+    h, w = img.shape
+    rng = np.random.default_rng(5)
+    root = "/tmp/realemdata"
+    for d in ("images", "masks"):
+        os.makedirs(f"{root}/ds0/{d}", exist_ok=True)
+    written = 0
+    while written < n_crops:
+        y = int(rng.integers(0, h - crop))
+        x0 = int(rng.integers(0, w - crop))
+        mc = ins[y:y + crop, x0:x0 + crop]
+        # keep the crop set fg-rich so the model sees mostly positives
+        if (mc > 0).mean() < 0.05 and written % 4 != 3:
+            continue
+        cv2.imwrite(f"{root}/ds0/images/{written}.png",
+                    img[y:y + crop, x0:x0 + crop])
+        cv2.imwrite(f"{root}/ds0/masks/{written}.png", mc)
+        written += 1
+
+    cfg = {
+        "DATASET": {"class_names": {1: "mito"}, "labels": [1],
+                    "thing_list": [1], "norms": real_em_norms()},
+        "MODEL": dict(MODEL_CFG),
+        "TRAIN": {
+            "run_name": "realem", "model_dir": "/tmp/realemmodels",
+            "save_freq": 100, "finetune_layer": "all",
+            "lr_schedule": "OneCycleLR",
+            "schedule_params": {"max_lr": 0.001, "epochs": epochs},
+            "optimizer": "AdamW",
+            "optimizer_params": {"weight_decay": 0.01},
+            "criterion": "PanopticLoss",
+            "criterion_params": {"ce_weight": 1, "mse_weight": 200,
+                                 "l1_weight": 0.01, "top_k_percent": 0.2},
+            "print_freq": 8, "batch_size": 8, "workers": 4,
+            "dataset_class": "SingleClassInstanceDataset",
+            "dataset_params": {},
+            "augmentations": [
+                {"aug": "RandomCrop", "height": crop, "width": crop},
+                {"aug": "HorizontalFlip"}, {"aug": "VerticalFlip"}],
+            "resume": None, "train_dir": root, "logging": False},
+    }
+    from empanada_tpu.train import Trainer
+
+    tr = Trainer(cfg)
+    hist = tr.fit()
+    assert hist[-1]["sem_iou"] > 0.5, hist[-1]
+    variables = {"params": tr.state.params}
+    if tr.state.batch_stats:
+        variables["batch_stats"] = tr.state.batch_stats
+    with open(REAL_CACHE, "wb") as f:
+        f.write(serialization.to_bytes(variables))
+    return module, variables
+
+
+def make_real_volume(n_slices=8, shift=1):
+    """Stack the real micrograph into a z-volume (slice i rolled by
+    i*shift px along x, GT rolled identically) — real EM content for the
+    stack-mode pipeline, analogous to the reference's repeated-section
+    test style."""
+    img, ins = real_em_instance_pair()
+    vol = np.stack([np.roll(img, i * shift, axis=1)
+                    for i in range(n_slices)])
+    gt = np.stack([np.roll(ins, i * shift, axis=1)
+                   for i in range(n_slices)]).astype(np.uint32)
+    return vol, gt
+
+
 def make_volume(rng, shape, spheres):
     vol = rng.normal(140, 8, shape)
     gt = np.zeros(shape, np.uint32)
