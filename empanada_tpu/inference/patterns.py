@@ -118,6 +118,12 @@ class ForwardMatcher:
         # the match thread does the (inherently serial) forward matching
         # of earlier slices — a 2-stage host pipeline
         self._decode_pool = ThreadPoolExecutor(max_workers=1)
+        # per-class shard pool: forward matching is serial in slice
+        # order PER CLASS but classes are independent, so multi-class
+        # volumes match all classes of a slice concurrently (the native
+        # matcher kernels release the GIL)
+        self._class_pool = (ThreadPoolExecutor(max_workers=len(matchers))
+                            if len(matchers) > 1 else None)
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
@@ -179,11 +185,11 @@ class ForwardMatcher:
                         and item[0] == "decoded":
                     segs = item[1].result()  # decode-executor future
                     for rle_seg in segs:
-                        rle_seg = apply_matchers(rle_seg, self.matchers)
+                        rle_seg = self._match(rle_seg)
                         self.rle_stack.append(rle_seg)
                     continue
                 rle_seg = self._to_rle_seg(item)
-                rle_seg = apply_matchers(rle_seg, self.matchers)
+                rle_seg = self._match(rle_seg)
                 self.rle_stack.append(rle_seg)
             except BaseException as e:  # surface in finish()/put()
                 self._exc = e
@@ -194,6 +200,26 @@ class ForwardMatcher:
                     except queue.Empty:
                         break
                 break
+
+    @staticmethod
+    def _match_one_class(matcher, rle_seg):
+        """Advance one class's stateful matcher by one slice; writes only
+        its own key of ``rle_seg`` (GIL-atomic dict assignment)."""
+        class_id = matcher.class_id
+        if matcher.target_rle is None:
+            matcher.initialize_target(rle_seg[class_id])
+        else:
+            rle_seg[class_id] = matcher(rle_seg[class_id])
+
+    def _match(self, rle_seg):
+        if self._class_pool is None:
+            return apply_matchers(rle_seg, self.matchers)
+        futures = [self._class_pool.submit(self._match_one_class, m,
+                                           rle_seg)
+                   for m in self.matchers]
+        for f in futures:
+            f.result()  # propagate per-class exceptions
+        return rle_seg
 
     def _check_worker(self):
         if self._exc is not None:
@@ -220,6 +246,8 @@ class ForwardMatcher:
         self._queue.put(None)
         self._thread.join()
         self._decode_pool.shutdown(wait=True)
+        if self._class_pool is not None:
+            self._class_pool.shutdown(wait=True)
         if self._exc is not None:
             raise self._exc
         return self.rle_stack
