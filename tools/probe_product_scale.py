@@ -48,6 +48,26 @@ def get_volume(side, n_instances, seed=13):
     return vol, gt
 
 
+def get_slab(depth, side, n_instances, seed=13):
+    """Dense SLAB volume (depth x side x side) at the product's instance
+    scale: (128, 512, 512) @ 900 gives ~112 GT inst/slice in xy with
+    median instance size ~6000 voxels — the same cell/radius structure
+    as the 512^3 @ 2400 regime, at a bench-bounded runtime. bench.py's
+    default ``product_density`` section runs on this."""
+    cache = (f"/tmp/empanada_bench_slab_{depth}_{side}_"
+             f"{n_instances}_{seed}d.npz")
+    if os.path.exists(cache):
+        with np.load(cache) as z:
+            return z["vol"], z["gt"]
+    from empanada_tpu.data.synthetic import synthetic_em_volume
+
+    vol, gt = synthetic_em_volume((depth, side, side),
+                                  n_instances=n_instances, seed=seed,
+                                  overlap=False)
+    np.savez(cache, vol=vol, gt=gt)
+    return vol, gt
+
+
 def main():
     side = int(sys.argv[1]) if len(sys.argv) > 1 else 512
     n_instances = int(sys.argv[2]) if len(sys.argv) > 2 else 2400
