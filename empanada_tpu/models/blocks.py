@@ -34,8 +34,42 @@ glorot = nn.initializers.variance_scaling(1.0, "fan_avg", "uniform")
 head_normal = nn.initializers.normal(stddev=0.001)
 
 
+LANE = 128  # TPU vector-register lane width
+
+
+def _lane_pad_grouped_conv(x, kernel, groups, stride, pad):
+    """Grouped conv with each group's INPUT width zero-padded to a
+    128-lane multiple. Outputs are numerically the f32-accumulated conv
+    (identical math: the padded lanes multiply zero kernel rows).
+
+    Why: MEASURED on the TPU runtime (2026-08-20, docs/performance.md)
+    — a feature_group_count conv whose group width is not a 128-lane
+    multiple (regnety_6p4gf: cw=72) does not ride the MXU and
+    accumulates in bf16, deviating ~25% RMS from the f32-accumulated
+    reference; the lane-padded form rides the MXU (faster) and matches
+    the CPU reference to bf16 rounding. +(pad/cw) redundant FLOPs, all
+    zeros."""
+    b, h, w, c = x.shape
+    cw = c // groups
+    padw = (-cw) % LANE
+    xg = x.reshape(b, h, w, groups, cw)
+    xg = jnp.pad(xg, ((0, 0),) * 3 + ((0, 0), (0, padw)))
+    xp = xg.reshape(b, h, w, groups * (cw + padw))
+    kp = jnp.pad(kernel, ((0, 0), (0, 0), (0, padw), (0, 0)))
+    return jax.lax.conv_general_dilated(
+        xp, kp, (stride, stride), [(pad, pad), (pad, pad)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups)
+
+
 class ConvBNAct(nn.Module):
-    """conv -> BN -> activation. Grouped-conv capable."""
+    """conv -> BN -> activation. Grouped-conv capable.
+
+    ``lane_pad``: None (auto) lane-pads misaligned grouped convs on the
+    TPU backend only (see _lane_pad_grouped_conv — correctness AND MXU
+    speed there; on CPU the plain conv is already exact so tests and
+    golden-parity comparisons are unchanged). True/False force it. The
+    param tree is identical either way (Conv_0/kernel)."""
     features: int
     kernel_size: int = 3
     stride: int = 1
@@ -44,20 +78,35 @@ class ConvBNAct(nn.Module):
     dtype: jnp.dtype = jnp.float32
     kernel_init: Callable = conv_kaiming
     final_bn: bool = False  # zero-init BN scale (residual branch trick)
+    lane_pad: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         pad = (self.kernel_size - 1) // 2
-        x = nn.Conv(
-            self.features,
-            (self.kernel_size, self.kernel_size),
-            strides=(self.stride, self.stride),
-            padding=[(pad, pad), (pad, pad)],
-            feature_group_count=self.groups,
-            use_bias=False,
-            dtype=self.dtype,
-            kernel_init=self.kernel_init,
-        )(x)
+        cw_in = x.shape[-1] // self.groups
+        use_lane_pad = self.lane_pad
+        if use_lane_pad is None:
+            use_lane_pad = (self.groups > 1 and cw_in % LANE != 0
+                            and jax.default_backend() == "tpu")
+        if use_lane_pad:
+            kernel = _ConvKernel(
+                (self.kernel_size, self.kernel_size, cw_in,
+                 self.features), self.kernel_init, name="Conv_0")()
+            x = _lane_pad_grouped_conv(
+                x.astype(self.dtype), kernel.astype(self.dtype),
+                self.groups, self.stride, pad)
+        else:
+            x = nn.Conv(
+                self.features,
+                (self.kernel_size, self.kernel_size),
+                strides=(self.stride, self.stride),
+                padding=[(pad, pad), (pad, pad)],
+                feature_group_count=self.groups,
+                use_bias=False,
+                dtype=self.dtype,
+                kernel_init=self.kernel_init,
+                name="Conv_0",
+            )(x)
         x = nn.BatchNorm(
             use_running_average=not train,
             momentum=0.9,

@@ -143,3 +143,51 @@ class TestStemAndTopkVariants:
         recall = len(set(np.asarray(approx_idx[0]).tolist())
                      & set(np.asarray(exact_idx[0]).tolist())) / 64
         assert recall >= 0.9, recall
+
+
+class TestLanePaddedGroupedConv:
+    """Lane-padded grouped conv (blocks._lane_pad_grouped_conv): on the
+    TPU runtime the misaligned fgc conv accumulates in bf16 off the MXU
+    (measured ~25% RMS deviation, docs/performance.md); the padded form
+    is the correctness+speed fix there. On CPU both paths are exact, so
+    here we pin (a) numerical equality, (b) identical param trees."""
+
+    def test_equals_plain_conv_and_same_params(self):
+        import jax
+
+        from empanada_tpu.models.blocks import ConvBNAct
+
+        rng = np.random.default_rng(0)
+        x = rng.normal(0, 1, (2, 16, 16, 144)).astype(np.float32)
+        plain = ConvBNAct(144, 3, groups=2, lane_pad=False)
+        padded = ConvBNAct(144, 3, groups=2, lane_pad=True)
+        v_plain = plain.init(jax.random.key(0), x, train=False)
+        v_pad = padded.init(jax.random.key(0), x, train=False)
+
+        flat_a = jax.tree_util.tree_flatten_with_path(v_plain)[0]
+        flat_b = jax.tree_util.tree_flatten_with_path(v_pad)[0]
+        assert [p for p, _ in flat_a] == [p for p, _ in flat_b]
+        for (_, a), (_, b) in zip(flat_a, flat_b):
+            assert a.shape == b.shape
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+        out_plain = plain.apply(v_plain, x, train=False)
+        out_pad = padded.apply(v_plain, x, train=False)
+        np.testing.assert_allclose(np.asarray(out_pad),
+                                   np.asarray(out_plain), atol=2e-5)
+
+    def test_strided_and_odd_group_width(self):
+        import jax
+
+        from empanada_tpu.models.blocks import ConvBNAct
+
+        rng = np.random.default_rng(1)
+        x = rng.normal(0, 1, (1, 16, 16, 216)).astype(np.float32)  # cw=72
+        plain = ConvBNAct(216, 3, stride=2, groups=3, lane_pad=False)
+        padded = ConvBNAct(216, 3, stride=2, groups=3, lane_pad=True)
+        v = plain.init(jax.random.key(0), x, train=False)
+        a = plain.apply(v, x, train=False)
+        b = padded.apply(v, x, train=False)
+        assert a.shape == b.shape
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=2e-5)
