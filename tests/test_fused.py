@@ -30,6 +30,26 @@ def model_and_vol():
     return model, variables, vol
 
 
+@pytest.fixture(scope="module")
+def per_slice_reference(model_and_vol):
+    """Per-slice engine outputs, computed ONCE for the module — the
+    parity baseline is identical for every fused block size."""
+    model, variables, vol = model_and_vol
+    D, H, W = vol.shape
+    kwargs = dict(thing_list=[1], label_divisor=100, stuff_area=0,
+                  median_kernel_size=3, padding_factor=16, max_centers=64)
+    ref = PanopticDeepLabRenderEngine3d(JittedModel(model, variables),
+                                        **kwargs)
+    want = []
+    for i in range(D):
+        pan = ref(vol[i][None, :, :, None], (H, W))
+        if pan is not None:
+            want.append(np.asarray(pan))
+    want.extend(np.asarray(p) for p in ref.end())
+    assert len(want) == D
+    return want
+
+
 class _DS:
     def __init__(self, vol):
         self.vol = vol
@@ -43,7 +63,8 @@ class _DS:
 
 
 @pytest.mark.parametrize("block_size", [4, 8])
-def test_fused_matches_per_slice(model_and_vol, block_size):
+def test_fused_matches_per_slice(model_and_vol, per_slice_reference,
+                                 block_size):
     model, variables, vol = model_and_vol
     D, H, W = vol.shape
     kwargs = dict(thing_list=[1], label_divisor=100, stuff_area=0,
@@ -58,16 +79,7 @@ def test_fused_matches_per_slice(model_and_vol, block_size):
         assert int(n_runs) <= len(np.asarray(starts))
     assert sorted(got) == list(range(D))
 
-    ref = PanopticDeepLabRenderEngine3d(JittedModel(model, variables),
-                                        **kwargs)
-    want = []
-    for i in range(D):
-        pan = ref(vol[i][None, :, :, None], (H, W))
-        if pan is not None:
-            want.append(np.asarray(pan))
-    want.extend(np.asarray(p) for p in ref.end())
-    assert len(want) == D
-
+    want = per_slice_reference
     for z in range(D):
         assert got[z].shape == want[z].shape
         agree = (got[z] == want[z]).mean()

@@ -205,10 +205,10 @@ class TestMultihostScaling:
 
         model, variables = small_model
         rng = np.random.default_rng(3)
-        D, H, W = 64, 32, 32
+        D, H, W = 40, 32, 32
         vol = rng.normal(0, 0.1, (D, H, W)).astype(np.float32)
         zz, yy, xx = np.mgrid[:D, :H, :W]
-        vol[((zz - 32) ** 2 + (yy - 16) ** 2 + (xx - 16) ** 2) < 144] += 2
+        vol[((zz - 20) ** 2 + (yy - 16) ** 2 + (xx - 16) ** 2) < 144] += 2
 
         B = 4
         kwargs = dict(thing_list=[1], label_divisor=100, stuff_area=0,
