@@ -86,12 +86,28 @@ class ConvBNAct(nn.Module):
         cw_in = x.shape[-1] // self.groups
         use_lane_pad = self.lane_pad
         if use_lane_pad is None:
+            import os
+
+            env = os.environ.get("EMPANADA_LANE_PAD")
+            enabled = (jax.default_backend() == "tpu" if env is None
+                       else env.lower() not in ("0", "false", "off"))
             use_lane_pad = (self.groups > 1 and cw_in % LANE != 0
-                            and jax.default_backend() == "tpu")
+                            and enabled)
         if use_lane_pad:
-            kernel = _ConvKernel(
-                (self.kernel_size, self.kernel_size, cw_in,
-                 self.features), self.kernel_init, name="Conv_0")()
+            # int8 artifacts store quantized kernels as
+            # {__int8__, __scale__} subtrees (export.py); the executing
+            # interceptor only wraps nn.Conv, so here we dequantize and
+            # run the lane-padded bf16 conv (grouped convs measured
+            # SLOWER in int8 anyway, tools/probe_int8_mxu.py)
+            stored = self.variables.get("params", {}).get("Conv_0", {})
+            kq = stored.get("kernel") if hasattr(stored, "get") else None
+            if hasattr(kq, "get") and kq.get("__int8__") is not None:
+                kernel = (jnp.asarray(kq["__int8__"], self.dtype)
+                          * jnp.asarray(kq["__scale__"], self.dtype))
+            else:
+                kernel = _ConvKernel(
+                    (self.kernel_size, self.kernel_size, cw_in,
+                     self.features), self.kernel_init, name="Conv_0")()
             x = _lane_pad_grouped_conv(
                 x.astype(self.dtype), kernel.astype(self.dtype),
                 self.groups, self.stride, pad)
