@@ -8,11 +8,13 @@ params/BN statistics stay float32.
 
 from __future__ import annotations
 
+import functools
 from functools import partial
 from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from empanada_tpu.ops.resize import interpolate_scale, resize_bilinear
@@ -62,14 +64,40 @@ def _lane_pad_grouped_conv(x, kernel, groups, stride, pad):
         feature_group_count=groups)
 
 
+@functools.lru_cache(maxsize=None)
+def _platform_needs_lane_pad(backend: str) -> bool:
+    """One-time on-device self-check: does THIS backend miscompute
+    misaligned grouped convs? Runs the measured failing shape (cw=72,
+    g=2) both plain and lane-padded on the default device and compares.
+    A healthy backend accumulates both in f32 (diff ~ bf16-multiply
+    rounding, <2% of output std); the failing runtime deviates ~200% of
+    std (docs/performance.md round 5). Keeps healthy TPUs on the
+    cheaper plain conv (~15-19% faster) while broken ones get the
+    correct padded path automatically."""
+    if backend != "tpu":
+        return False
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(0, 1, (1, 8, 8, 144)), jnp.float32)
+    w = jnp.asarray(rng.normal(0, 0.05, (3, 3, 72, 144)), jnp.float32)
+    a = np.asarray(jax.lax.conv_general_dilated(
+        x, w, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=2))
+    b = np.asarray(_lane_pad_grouped_conv(x, w, 2, 1, 1))
+    return float(np.abs(a - b).max()) > 0.1 * (float(a.std()) + 1e-9)
+
+
 class ConvBNAct(nn.Module):
     """conv -> BN -> activation. Grouped-conv capable.
 
-    ``lane_pad``: None (auto) lane-pads misaligned grouped convs on the
-    TPU backend only (see _lane_pad_grouped_conv — correctness AND MXU
-    speed there; on CPU the plain conv is already exact so tests and
-    golden-parity comparisons are unchanged). True/False force it. The
-    param tree is identical either way (Conv_0/kernel)."""
+    ``lane_pad``: None (auto) lane-pads misaligned grouped convs ONLY
+    on backends whose plain grouped conv measurably miscomputes
+    (_platform_needs_lane_pad self-check; see _lane_pad_grouped_conv).
+    On CPU and healthy TPUs the plain conv is used, so tests and
+    golden-parity comparisons are unchanged and no speed is paid.
+    ``EMPANADA_LANE_PAD=1/0`` forces it either way at trace time.
+    True/False force it per-module. The param tree is identical either
+    way (Conv_0/kernel)."""
     features: int
     kernel_size: int = 3
     stride: int = 1
@@ -86,13 +114,19 @@ class ConvBNAct(nn.Module):
         cw_in = x.shape[-1] // self.groups
         use_lane_pad = self.lane_pad
         if use_lane_pad is None:
-            import os
+            misaligned = self.groups > 1 and cw_in % LANE != 0
+            if not misaligned:
+                use_lane_pad = False
+            else:
+                import os
 
-            env = os.environ.get("EMPANADA_LANE_PAD")
-            enabled = (jax.default_backend() == "tpu" if env is None
-                       else env.lower() not in ("0", "false", "off"))
-            use_lane_pad = (self.groups > 1 and cw_in % LANE != 0
-                            and enabled)
+                env = os.environ.get("EMPANADA_LANE_PAD")
+                if env is not None:
+                    use_lane_pad = env.lower() not in ("0", "false",
+                                                       "off")
+                else:
+                    use_lane_pad = _platform_needs_lane_pad(
+                        jax.default_backend())
         if use_lane_pad:
             # int8 artifacts store quantized kernels as
             # {__int8__, __scale__} subtrees (export.py); the executing
