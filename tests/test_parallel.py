@@ -255,3 +255,19 @@ class TestMultihostScaling:
 
         # (d) rank-0 gather moves O(#runs) pickled RLEs, not the volume
         assert gather_bytes < vol.nbytes / 4, (gather_bytes, vol.nbytes)
+
+
+@pytest.mark.slow
+class TestMeshInferenceComposition:
+    def test_dryrun_inference_cert(self):
+        """The driver's multi-device INFERENCE certification
+        (__graft_entry__._dryrun_inference_impl): full orthoplane
+        composition over the 8-device mesh == single-device consensus,
+        exact RLE equality. Pinned here so the cert can't rot between
+        driver runs."""
+        import sys
+
+        sys.path.insert(0, ".")
+        import __graft_entry__ as graft
+
+        graft._dryrun_inference_impl(8)
