@@ -210,3 +210,58 @@ def test_released_mitonet_ingest():
     desc = import_torch_model(path, model_cfg, save_dir, "mitonet",
                               thing_list=[1], labels=[1])
     assert any(k.startswith("model") for k in desc), desc
+
+
+@pytest.mark.slow
+def test_real_em_orthoplane_parity():
+    """Full 3-axis orthoplane consensus parity vs the reference torch
+    stack on REAL EM content (extends the stack-mode test to the
+    consensus composition). Smaller crop volume keeps the reference's
+    per-slice torch cost bounded."""
+    pytest.importorskip("torch")
+    from empanada_tpu.cli.infer3d import run_inference3d
+    from empanada_tpu.inference.patterns import fill_volume
+    from tools.parity_e2e import (
+        INFER_KW,
+        export_to_reference_torch,
+        instance_parity,
+        real_em_instance_pair,
+        real_em_norms,
+        train_real_em_model,
+    )
+    from tools.reference_pipeline import (
+        fill_reference_consensus,
+        run_reference_inference3d,
+    )
+
+    module, variables = train_real_em_model()
+    tmodel = export_to_reference_torch(variables)
+
+    # (24, 96, 96) volume: a mito-rich crop of the real micrograph,
+    # rolled 1 px/slice along x (instance 2005 spans rows 172-249,
+    # cols 87-178)
+    img, ins = real_em_instance_pair()
+    crop_i = img[160:256, 80:176]
+    crop_m = ins[160:256, 80:176]
+    vol = np.stack([np.roll(crop_i, z, axis=1) for z in range(24)])
+    gt = np.stack([np.roll(crop_m, z, axis=1)
+                   for z in range(24)]).astype(np.uint32)
+    assert (gt > 0).any()
+
+    kw = dict(INFER_KW, mode="orthoplane", norms=real_em_norms(),
+              min_size=200, min_span=2)
+    ref_cons = run_reference_inference3d(tmodel, vol, **kw)
+    ref_pred = fill_reference_consensus(ref_cons[1], vol.shape)
+
+    tpu_cons = run_inference3d((module, variables), vol, max_centers=64,
+                               block_size=4, **kw)
+    tpu_pred = np.zeros(vol.shape, np.uint32)
+    fill_volume(tpu_pred, tpu_cons[1].instances, processes=1)
+
+    # the reference must genuinely segment the real content in 3-axis
+    # consensus mode
+    assert len(ref_cons[1].instances) >= 1, ref_cons[1].instances
+
+    matched, n_ref, n_tpu = instance_parity(ref_pred, tpu_pred)
+    assert n_ref == n_tpu == len(matched), (n_ref, n_tpu, len(matched))
+    assert min(matched) > 0.9, matched
